@@ -1,0 +1,358 @@
+"""Quasi-cyclic LDPC code construction and the rate-adaptation ladder.
+
+Reference capability: parity-check-matrix construction/loading and the
+puncture/shorten rate ladder of the ``-ldpc`` fork (SURVEY.md §3 #13, §8 step 4;
+BASELINE.json configs 1 and 3).
+
+TPU-first design choice (NOT how a CPU C implementation would store H):
+the code is **quasi-cyclic (QC)** — H is an ``mb x nb`` grid of ``z x z``
+circulant permutation blocks.  Check node ``(i, zc)`` touches variable
+``(j, (zc + shift) % z)`` for every base-graph edge ``(i, j, shift)``.  The
+payoff is that converting a belief-propagation message tensor between
+check-major and variable-major edge order — the only "irregular" data movement
+in BP — becomes a circular roll along the ``z`` axis:
+
+    var_view[e]   = roll(chk_view[e], +shift_e)   # axis = z
+    chk_view[e]   = roll(var_view[e], -shift_e)
+
+Rolls are static-shape, gather-free, VPU-friendly, and supported directly in
+Pallas (``pltpu.roll``).  This is the same reason 5G-NR and 802.11 LDPC codes
+are QC — the structure is hardware-native, and a TPU is hardware.
+
+All arrays describing a code are tiny (base graph has ~50 edges); per-block
+work tensors are shaped ``(num_base_edges, z, batch)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = [
+    "QCCode",
+    "make_regular_code",
+    "RateLadder",
+    "RateStep",
+    "make_rate_ladder",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class QCCode:
+    """A quasi-cyclic LDPC code described by its base graph.
+
+    Attributes:
+      z: circulant (lifting) size.
+      mb, nb: base-graph rows (checks) and columns (variables).
+      edge_row: (E,) int32 — base row index of each base edge.
+      edge_col: (E,) int32 — base column index of each base edge.
+      edge_shift: (E,) int32 — circulant shift of each base edge, in [0, z).
+      row_edges: (mb, dc_max) int32 — edge ids per base row, padded with -1.
+      col_edges: (nb, dv_max) int32 — edge ids per base column, padded with -1.
+    """
+
+    z: int
+    mb: int
+    nb: int
+    edge_row: np.ndarray
+    edge_col: np.ndarray
+    edge_shift: np.ndarray
+    row_edges: np.ndarray
+    col_edges: np.ndarray
+
+    @property
+    def n(self) -> int:
+        """Code length in bits."""
+        return self.nb * self.z
+
+    @property
+    def m(self) -> int:
+        """Number of parity checks (syndrome length in bits)."""
+        return self.mb * self.z
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.edge_row.shape[0])
+
+    @property
+    def dc_max(self) -> int:
+        return int(self.row_edges.shape[1])
+
+    @property
+    def dv_max(self) -> int:
+        return int(self.col_edges.shape[1])
+
+    @property
+    def rate(self) -> float:
+        return 1.0 - self.m / self.n
+
+    def to_dense(self) -> np.ndarray:
+        """Materialize H as a dense uint8 array (tests / golden model only)."""
+        h = np.zeros((self.m, self.n), dtype=np.uint8)
+        zc = np.arange(self.z)
+        for e in range(self.num_edges):
+            i, j, s = self.edge_row[e], self.edge_col[e], self.edge_shift[e]
+            rows = i * self.z + zc
+            cols = j * self.z + (zc + s) % self.z
+            h[rows, cols] ^= 1
+        return h
+
+    def validate(self) -> None:
+        e = self.num_edges
+        assert self.edge_row.shape == (e,)
+        assert self.edge_col.shape == (e,)
+        assert self.edge_shift.shape == (e,)
+        assert self.edge_row.min() >= 0 and self.edge_row.max() < self.mb
+        assert self.edge_col.min() >= 0 and self.edge_col.max() < self.nb
+        assert self.edge_shift.min() >= 0 and self.edge_shift.max() < self.z
+        # Groupings must partition the edge set.
+        got = sorted(x for x in self.row_edges.ravel() if x >= 0)
+        assert got == list(range(e)), "row_edges must cover every edge once"
+        got = sorted(x for x in self.col_edges.ravel() if x >= 0)
+        assert got == list(range(e)), "col_edges must cover every edge once"
+
+
+def _group_edges(keys: np.ndarray, num_groups: int) -> np.ndarray:
+    """Group edge ids by key into a (num_groups, max_deg) array padded with -1."""
+    buckets: list[list[int]] = [[] for _ in range(num_groups)]
+    for e, k in enumerate(keys):
+        buckets[int(k)].append(e)
+    deg = max(len(b) for b in buckets)
+    out = np.full((num_groups, deg), -1, dtype=np.int32)
+    for g, b in enumerate(buckets):
+        out[g, : len(b)] = b
+    return out
+
+
+def _base_graph_regular(mb: int, nb: int, dv: int, dc: int, rng: np.random.Generator,
+                        max_tries: int = 200) -> tuple[np.ndarray, np.ndarray]:
+    """Random (dv, dc)-biregular bipartite base graph without parallel edges.
+
+    Permutation-construction: the multiset {col j repeated dv times} is shuffled
+    and dealt into rows (dc slots each); resample on parallel edges.
+    """
+    assert nb * dv == mb * dc, "degree constraint nb*dv == mb*dc violated"
+    stubs = np.repeat(np.arange(nb, dtype=np.int32), dv)
+    rows = np.repeat(np.arange(mb, dtype=np.int32), dc)
+    rng.shuffle(stubs)
+    # Repair parallel edges by swapping conflicting stubs between rows.
+    for _ in range(max_tries * 100):
+        seen: dict[tuple[int, int], int] = {}
+        conflict = -1
+        for idx in range(len(rows)):
+            key = (int(rows[idx]), int(stubs[idx]))
+            if key in seen:
+                conflict = idx
+                break
+            seen[key] = idx
+        if conflict < 0:
+            return rows.copy(), stubs.copy()
+        # Swap the conflicting stub with a random other stub; accept any swap
+        # that removes this conflict without re-checking globally (the outer
+        # loop re-verifies) — random swaps converge quickly.
+        other = int(rng.integers(0, len(rows)))
+        if int(rows[other]) != int(rows[conflict]):
+            stubs[conflict], stubs[other] = stubs[other], stubs[conflict]
+    raise RuntimeError("could not construct a simple biregular base graph")
+
+
+def _break_base_4cycles(edge_row: np.ndarray, edge_col: np.ndarray,
+                        shifts: np.ndarray, z: int, rng: np.random.Generator,
+                        passes: int = 30) -> np.ndarray:
+    """Resample circulant shifts until no lifted 4-cycles remain (best effort).
+
+    A 4-cycle survives lifting through base entries (i1,j1),(i1,j2),(i2,j2),
+    (i2,j1) iff s(i1,j1) - s(i1,j2) + s(i2,j2) - s(i2,j1) == 0 (mod z).
+    """
+    e = len(shifts)
+    shifts = shifts.copy()
+    # Precompute, for every pair of edges sharing a column, the partner data.
+    by_col: dict[int, list[int]] = {}
+    for idx in range(e):
+        by_col.setdefault(int(edge_col[idx]), []).append(idx)
+    for _ in range(passes):
+        bad = []
+        # Any two edges sharing a column give a (row pair); two column-sharing
+        # edge pairs with the same row pair form a potential 4-cycle.
+        pair_map: dict[tuple[int, int, int, int], int] = {}
+        found = False
+        for _, edges in by_col.items():
+            for a_i in range(len(edges)):
+                for b_i in range(a_i + 1, len(edges)):
+                    ea, eb = edges[a_i], edges[b_i]
+                    r1, r2 = int(edge_row[ea]), int(edge_row[eb])
+                    if r1 == r2:
+                        continue
+                    if r1 > r2:
+                        ea, eb = eb, ea
+                        r1, r2 = r2, r1
+                    delta = (int(shifts[ea]) - int(shifts[eb])) % z
+                    key = (r1, r2, delta, 0)
+                    if key in pair_map:
+                        bad.append(ea)
+                        found = True
+                    else:
+                        pair_map[key] = ea
+        if not found:
+            return shifts
+        for ea in bad:
+            shifts[ea] = rng.integers(0, z)
+    return shifts  # best effort; girth-6 not guaranteed for dense base graphs
+
+
+def make_regular_code(n: int, dv: int = 3, dc: int = 6, z: Optional[int] = None,
+                      seed: int = 0x51C0DE) -> QCCode:
+    """Construct a (dv, dc)-regular QC-LDPC code of length ``n``.
+
+    Defaults give the BASELINE.json config-1 code: (3,6)-regular rate-1/2,
+    n=4096 → base graph 8x16 lifted by z=256.
+
+    Args:
+      n: code length in bits; must be divisible by the chosen z and nb.
+      dv: variable (column) degree.
+      dc: check (row) degree.
+      z: circulant size; default picks the largest power-of-two z such that
+         nb = n/z gives a constructible base graph (nb >= 2*dc typically).
+      seed: deterministic construction seed — both parties must build the
+        identical code, so this seed is part of the protocol configuration.
+    """
+    if z is None:
+        # Prefer large z (more structure, smaller base graph) subject to the
+        # base graph remaining simple: need nb >= dc (ideally > dc).
+        z = 1
+        for cand in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if n % cand == 0 and (n // cand) >= 2 * dc and ((n // cand) * dv) % dc == 0:
+                z = cand
+                break
+    assert n % z == 0, f"n={n} not divisible by z={z}"
+    nb = n // z
+    assert (nb * dv) % dc == 0, "nb*dv must be divisible by dc"
+    mb = nb * dv // dc
+    rng = np.random.default_rng(seed)
+    edge_row, edge_col = _base_graph_regular(mb, nb, dv, dc, rng)
+    shifts = rng.integers(0, z, size=edge_row.shape[0]).astype(np.int32)
+    shifts = _break_base_4cycles(edge_row, edge_col, shifts, z, rng)
+    code = QCCode(
+        z=z, mb=mb, nb=nb,
+        edge_row=edge_row.astype(np.int32),
+        edge_col=edge_col.astype(np.int32),
+        edge_shift=shifts.astype(np.int32),
+        row_edges=_group_edges(edge_row, mb),
+        col_edges=_group_edges(edge_col, nb),
+    )
+    code.validate()
+    return code
+
+
+# ---------------------------------------------------------------------------
+# Rate adaptation: puncture / shorten ladder (BASELINE.json config 3)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RateStep:
+    """One rung of the rate ladder.
+
+    Whole base columns are punctured or shortened so the QC structure (and all
+    static shapes) survive: a punctured column's z variables carry bits that
+    are *random and undisclosed* (decoder prior LLR = 0, they are recovered by
+    BP and then discarded); a shortened column's z variables carry bits *known
+    to both parties* from the shared protocol PRNG (prior LLR = ±inf).
+
+    Effective rate for syndrome reconciliation with p punctured and s shortened
+    bits out of n, syndrome length m (Elkouss-style rate-adaptive scheme):
+
+        payload  k_eff = n - p - s          (sifted-key bits carried)
+        leakage  = m - p                    (syndrome reveals m parities, but p
+                                             of the involved bits were random
+                                             pads unknown to the adversary)
+        R_eff    = 1 - (m - p) / (n - p - s)
+    """
+
+    name: str
+    punct_cols: tuple[int, ...]   # base columns carrying random pad bits
+    short_cols: tuple[int, ...]   # base columns carrying PRNG-known bits
+
+    def effective_rate(self, code: QCCode) -> float:
+        p = len(self.punct_cols) * code.z
+        s = len(self.short_cols) * code.z
+        return 1.0 - (code.m - p) / (code.n - p - s)
+
+    def payload_bits(self, code: QCCode) -> int:
+        return code.n - (len(self.punct_cols) + len(self.short_cols)) * code.z
+
+    def leaked_bits(self, code: QCCode) -> int:
+        return code.m - len(self.punct_cols) * code.z
+
+
+@dataclasses.dataclass(frozen=True)
+class RateLadder:
+    """A mother code plus an ordered list of rate steps (low rate → high rate).
+
+    Rate selection: given a QBER estimate, pick the highest-rate step whose
+    code still converges with margin — operationally, the highest R_eff with
+    R_eff <= (1 - f * h2(qber)) for reconciliation efficiency f (>1).
+    """
+
+    code: QCCode
+    steps: tuple[RateStep, ...]
+
+    def select(self, qber: float, efficiency: float = 1.1) -> int:
+        """Return the index of the chosen step for a given QBER estimate."""
+        capacity = 1.0 - efficiency * _h2(qber)
+        best = 0
+        for idx, step in enumerate(self.steps):
+            if step.effective_rate(self.code) <= capacity:
+                best = idx
+        return best
+
+    def rates(self) -> list[float]:
+        return [s.effective_rate(self.code) for s in self.steps]
+
+
+def _h2(p: float) -> float:
+    if p <= 0.0 or p >= 1.0:
+        return 0.0
+    return float(-p * np.log2(p) - (1 - p) * np.log2(1 - p))
+
+
+def make_rate_ladder(code: QCCode, target_rates: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
+                     seed: int = 0x0AD0) -> RateLadder:
+    """Build a puncture/shorten ladder hitting ``target_rates`` from one mother code.
+
+    Raising the rate from the mother R0 = 1 - mb/nb uses puncturing; the
+    lowest rung uses the plain mother code.  Column choices are deterministic
+    from ``seed`` (protocol configuration — both parties must agree).
+
+    Solving R = 1 - (m - p)/(n - p - s) with s = 0 for p:
+        p = (m - (1 - R) * n) / R       (puncture only, R >= R0)
+    """
+    rng = np.random.default_rng(seed)
+    # Puncture high-degree-ish columns? For a regular code all columns are
+    # equivalent; choose a deterministic random order.
+    col_order = rng.permutation(code.nb)
+    steps = []
+    for r in target_rates:
+        r0 = code.rate
+        if r <= r0 + 1e-9:
+            # At or below mother rate: shorten to *lower* the rate.
+            # R = 1 - m/(n - s)  =>  s = n - m/(1-R)
+            s_bits = code.n - code.m / max(1e-9, (1.0 - r))
+            s_cols = int(round(max(0.0, s_bits) / code.z))
+            s_cols = min(s_cols, code.nb - code.mb - 1)
+            steps.append(RateStep(
+                name=f"r{r:.2f}",
+                punct_cols=(),
+                short_cols=tuple(int(c) for c in col_order[:s_cols]),
+            ))
+        else:
+            p_bits = (code.m - (1.0 - r) * code.n) / r
+            p_cols = int(round(p_bits / code.z))
+            p_cols = max(0, min(p_cols, code.mb - 1))
+            steps.append(RateStep(
+                name=f"r{r:.2f}",
+                punct_cols=tuple(int(c) for c in col_order[:p_cols]),
+                short_cols=(),
+            ))
+    return RateLadder(code=code, steps=tuple(steps))

@@ -1,0 +1,187 @@
+"""Batched belief-propagation decoding in pure JAX (XLA path).
+
+Reference capability: Bob's iterative BP decode loop — "THE hot loop" of the
+``-ldpc`` fork (SURVEY.md §4.4) — redesigned for TPU:
+
+- **DP over blocks**: the batch of independent key blocks rides the trailing
+  (lane) axis of every tensor; 1024 concurrent n=4096 decodes are one program
+  (BASELINE.json config 2).
+- **QC structure**: the check-major ↔ variable-major edge permutation is a
+  static circulant roll per base edge (~48 rolls/iteration), never a gather.
+- **Flooding schedule with convergence freezing**: a `lax.while_loop` runs
+  until every block's hard decision matches its target syndrome (or max
+  iters); converged blocks freeze (masked no-ops) so their outputs and
+  iteration counts are exact.
+
+Bit-exactness contract with qtpu.ldpc.golden (min-sum): identical float32
+operation order — sequential slot accumulation, "first minimal slot wins",
+sign(0) = +1.  Tests assert decoded bits and iteration counts match exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from qtpu.ldpc.codes import QCCode
+
+__all__ = ["make_batch_decoder", "BatchDecodeResult", "channel_llr", "BIG_LLR"]
+
+BIG_LLR = 1e9  # shortened-bit prior magnitude (matches golden.BIG_LLR)
+
+
+def channel_llr(bits: jax.Array, qber: jax.Array | float) -> jax.Array:
+    """BSC LLRs log(P(0)/P(1)) for observed bits; qber may be per-block.
+
+    bits: (..., n) 0/1; qber: scalar or broadcastable to bits' leading dims.
+    """
+    q = jnp.asarray(qber, dtype=jnp.float32)
+    mag = jnp.log((1.0 - q) / q)
+    mag = jnp.broadcast_to(mag[..., None] if mag.ndim else mag, bits.shape)
+    return jnp.where(bits.astype(bool), -mag, mag).astype(jnp.float32)
+
+
+class BatchDecodeResult(NamedTuple):
+    bits: jax.Array        # (B, n) uint8 hard decisions (all n variables)
+    converged: jax.Array   # (B,) bool
+    iterations: jax.Array  # (B,) int32 — check-update rounds consumed
+
+
+def make_batch_decoder(code: QCCode, max_iters: int = 50, alg: str = "minsum",
+                       alpha: float = 0.8125):
+    """Build a jitted batched decoder ``(llr (B,n) f32, syndrome (B,m)) -> BatchDecodeResult``.
+
+    The code's base graph is baked in as static structure (shifts become
+    static slice/concat pairs under XLA).
+    """
+    if alg not in ("minsum", "sumprod"):
+        raise ValueError(f"unknown alg {alg!r}")
+    edge_col = [int(x) for x in code.edge_col]
+    edge_shift = [int(x) for x in code.edge_shift]
+    row_edges = [[int(e) for e in row if e >= 0] for row in code.row_edges]
+    col_edges = [[int(e) for e in col if e >= 0] for col in code.col_edges]
+    mb, nb, z, E = code.mb, code.nb, code.z, code.num_edges
+    alpha_f = jnp.float32(alpha)
+
+    def _sign(x):
+        return jnp.where(x < 0, jnp.float32(-1.0), jnp.float32(1.0))
+
+    def _totals(llr, c2v):
+        """Posterior totals (nb, z, B) from chk-view c2v (E, z, B)."""
+        # Sequential slot order per column — golden-model contract.
+        total = []
+        for j in range(nb):
+            t = llr[j]
+            for e in col_edges[j]:
+                t = t + jnp.roll(c2v[e], edge_shift[e], axis=0)
+            total.append(t)
+        return jnp.stack(total)
+
+    def _chk_view_and_syndrome(total, c2v):
+        """Compute v2c (chk view), hard bits' syndrome, per-block match mask."""
+        t_chk = [jnp.roll(total[edge_col[e]], -edge_shift[e], axis=0) for e in range(E)]
+        v2c = [t_chk[e] - c2v[e] for e in range(E)]
+        # Hard-decision bit (chk view) is the sign bit of the posterior.
+        syn_hat = []
+        for i in range(mb):
+            p = None
+            for e in row_edges[i]:
+                b = (t_chk[e] < 0)
+                p = b if p is None else p ^ b
+            syn_hat.append(p)
+        return jnp.stack(v2c), jnp.stack(syn_hat)  # (E,z,B), (mb,z,B)
+
+    def _check_update_minsum(v2c, syn_sign):
+        """Normalized min-sum over each base row; returns new c2v (E, z, B)."""
+        out = [None] * E
+        for i in range(mb):
+            slots = row_edges[i]
+            msgs = [v2c[e] for e in slots]
+            signs = [_sign(m) for m in msgs]
+            mags = [jnp.abs(m) for m in msgs]
+            sign_all = signs[0]
+            for sgn in signs[1:]:
+                sign_all = sign_all * sgn
+            m1 = mags[0]
+            m2 = jnp.full_like(m1, jnp.inf)
+            idx1 = jnp.zeros(m1.shape, dtype=jnp.int32)
+            for k in range(1, len(mags)):
+                is_new_min = mags[k] < m1
+                m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
+                idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
+                m1 = jnp.where(is_new_min, mags[k], m1)
+            coset = syn_sign[i]
+            for k, e in enumerate(slots):
+                other_min = jnp.where(idx1 == k, m2, m1)
+                out[e] = alpha_f * coset * sign_all * signs[k] * other_min
+        return jnp.stack(out)
+
+    def _check_update_sumprod(v2c, syn_sign):
+        out = [None] * E
+        eps = jnp.float32(1e-12)
+        for i in range(mb):
+            slots = row_edges[i]
+            msgs = [jnp.clip(v2c[e], -30.0, 30.0) for e in slots]
+            tanhs = [jnp.tanh(m * jnp.float32(0.5)) for m in msgs]
+            d = len(slots)
+            prefix = [jnp.ones_like(tanhs[0])]
+            for k in range(d - 1):
+                prefix.append(prefix[-1] * tanhs[k])
+            suffix = [jnp.ones_like(tanhs[0])]
+            for k in range(d - 1, 0, -1):
+                suffix.append(suffix[-1] * tanhs[k])
+            suffix = suffix[::-1]
+            coset = syn_sign[i]
+            for k, e in enumerate(slots):
+                t = jnp.clip(prefix[k] * suffix[k], -1 + 1e-7, 1 - 1e-7)
+                val = jnp.float32(2.0) * jnp.arctanh(t) * coset
+                out[e] = jnp.where(jnp.abs(t) < eps, jnp.float32(0.0), val)
+        return jnp.stack(out)
+
+    _check_update = _check_update_minsum if alg == "minsum" else _check_update_sumprod
+
+    @jax.jit
+    def decode(llr: jax.Array, syndrome: jax.Array) -> BatchDecodeResult:
+        bsz = llr.shape[0]
+        llr_i = jnp.transpose(llr.reshape(bsz, nb, z), (1, 2, 0)).astype(jnp.float32)
+        syn_i = jnp.transpose(syndrome.reshape(bsz, mb, z), (1, 2, 0))
+        syn_sign = (1.0 - 2.0 * syn_i.astype(jnp.float32))
+        syn_bool = syn_i.astype(bool)
+
+        def converged_mask(total, c2v):
+            v2c, syn_hat = _chk_view_and_syndrome(total, c2v)
+            ok = jnp.all(syn_hat == syn_bool, axis=(0, 1))  # (B,)
+            return v2c, ok
+
+        c2v0 = jnp.zeros((E, z, bsz), dtype=jnp.float32)
+        total0 = _totals(llr_i, c2v0)
+        v2c0, ok0 = converged_mask(total0, c2v0)
+
+        def cond(state):
+            _, _, _, ok, _, it = state
+            return jnp.logical_and(it < max_iters, ~jnp.all(ok))
+
+        def body(state):
+            c2v, total, v2c, ok, iters, it = state
+            c2v_new = _check_update(v2c, syn_sign)
+            total_new = _totals(llr_i, c2v_new)
+            v2c_new, ok_new = converged_mask(total_new, c2v_new)
+            # Freeze blocks that had already converged (ok from previous
+            # rounds) so their bits and iteration counts stay exact.
+            keep = ok  # (B,) — True: retain previous state
+            c2v = jnp.where(keep[None, None, :], c2v, c2v_new)
+            total = jnp.where(keep[None, None, :], total, total_new)
+            v2c = jnp.where(keep[None, None, :], v2c, v2c_new)
+            iters = jnp.where(keep, iters, it + 1)
+            ok = jnp.logical_or(ok, ok_new)
+            return c2v, total, v2c, ok, iters, it + 1
+
+        state = (c2v0, total0, v2c0, ok0, jnp.zeros((bsz,), jnp.int32), jnp.int32(0))
+        c2v, total, v2c, ok, iters, _ = jax.lax.while_loop(cond, body, state)
+
+        bits = jnp.transpose((total < 0).astype(jnp.uint8), (2, 0, 1)).reshape(bsz, nb * z)
+        return BatchDecodeResult(bits=bits, converged=ok, iterations=iters)
+
+    return decode

@@ -1,0 +1,187 @@
+"""Golden-model LDPC reconciliation in pure NumPy.
+
+The reference binary is absent (SURVEY.md §0), so this module IS the golden
+model the accelerated decoders must match (SURVEY.md §5.1): syndrome encode
+and belief-propagation decoding (normalized min-sum and sum-product) with the
+syndrome-coset trick for reconciliation, in float32 with a fixed, documented
+operation order so the JAX/Pallas decoders can match it **bit-exactly** for
+min-sum (SURVEY.md Appendix B).
+
+Reference capability: the BP decoder of the ``-ldpc`` fork
+(``errorcorrection/`` LDPC path, SURVEY.md §4.4).
+
+Operation-order contract (shared with qtpu.ldpc.decode / pallas_bp):
+  * slot reductions (variable sums, check sign/min) accumulate sequentially
+    over the padded slot axis, slot 0 first;
+  * the min-tie convention is "first minimal slot wins" (argmin semantics);
+  * all message arithmetic is float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from qtpu.ldpc.codes import QCCode
+
+__all__ = [
+    "channel_llr",
+    "encode_syndrome",
+    "decode",
+    "DecodeResult",
+]
+
+_F32 = np.float32
+# Magnitude used for "infinite" LLRs (shortened bits). Large enough to pin the
+# bit, small enough that sums of a few of them stay finite in float32.
+BIG_LLR = _F32(1e9)
+
+
+def channel_llr(bits: np.ndarray, qber: float) -> np.ndarray:
+    """BSC log-likelihood ratios log(P(0)/P(1)) for observed ``bits``.
+
+    bits: int/bool array of Bob's observed bits (any shape).
+    """
+    mag = _F32(np.log((1.0 - qber) / qber))
+    return np.where(bits.astype(bool), -mag, mag).astype(_F32)
+
+
+def encode_syndrome(code: QCCode, bits: np.ndarray) -> np.ndarray:
+    """Syndrome s = H @ bits over GF(2), using the QC structure.
+
+    bits: (nb*z,) or (nb, z) 0/1 array → returns (mb, z) uint8.
+    """
+    b = np.asarray(bits).reshape(code.nb, code.z).astype(np.uint8)
+    syn = np.zeros((code.mb, code.z), dtype=np.uint8)
+    for e in range(code.num_edges):
+        i, j, s = int(code.edge_row[e]), int(code.edge_col[e]), int(code.edge_shift[e])
+        # Check (i, zc) touches variable (j, (zc + s) % z):
+        syn[i] ^= np.roll(b[j], -s)
+    return syn
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    bits: np.ndarray        # (nb, z) uint8 hard decisions
+    converged: bool         # syndrome matched within max_iters
+    iterations: int         # iterations actually used (1-based)
+
+
+def _sign(x: np.ndarray) -> np.ndarray:
+    """±1 sign with sign(0) = +1 (contract shared with the JAX decoders)."""
+    return np.where(x < 0, _F32(-1.0), _F32(1.0))
+
+
+def decode(code: QCCode,
+           llr: np.ndarray,
+           syndrome: np.ndarray,
+           max_iters: int = 50,
+           alg: str = "minsum",
+           alpha: float = 0.8125,
+           ) -> DecodeResult:
+    """Decode one block to the coset defined by ``syndrome``.
+
+    Args:
+      llr: (nb, z) float32 channel LLRs (log P(0)/P(1)), already including any
+        puncturing (0) / shortening (±BIG_LLR) priors.
+      syndrome: (mb, z) 0/1 target syndrome (Alice's).
+      alg: "minsum" (normalized, factor ``alpha``) or "sumprod".
+      alpha: min-sum normalization; 0.8125 = 13/16 is exactly representable.
+
+    Returns hard-decision bits for **all** n variables (incl. punctured and
+    shortened positions); the caller extracts payload columns.
+    """
+    llr = np.asarray(llr, dtype=_F32).reshape(code.nb, code.z)
+    syn_sign = (_F32(1.0) - _F32(2.0) * np.asarray(syndrome, dtype=_F32)
+                ).reshape(code.mb, code.z)  # ±1, -1 where syndrome bit is 1
+    e_count, z = code.num_edges, code.z
+    alpha = _F32(alpha)
+
+    c2v_chk = np.zeros((e_count, z), dtype=_F32)  # check-side view
+    bits = (llr < 0).astype(np.uint8)
+    syn_target = np.asarray(syndrome, dtype=np.uint8).reshape(code.mb, z)
+    if np.array_equal(encode_syndrome(code, bits), syn_target):
+        return DecodeResult(bits=bits, converged=True, iterations=0)
+
+    it_used = 0
+    for it in range(max_iters):
+        it_used = it + 1
+        # ---- variable side: totals and v2c messages --------------------
+        c2v_var = np.empty_like(c2v_chk)
+        for e in range(e_count):
+            c2v_var[e] = np.roll(c2v_chk[e], int(code.edge_shift[e]))
+        total = llr.copy()
+        for j in range(code.nb):
+            for slot in range(code.dv_max):
+                e = int(code.col_edges[j, slot])
+                if e >= 0:
+                    total[j] = total[j] + c2v_var[e]
+        v2c_chk = np.empty_like(c2v_chk)
+        for e in range(e_count):
+            v_var = total[int(code.edge_col[e])] - c2v_var[e]
+            v2c_chk[e] = np.roll(v_var, -int(code.edge_shift[e]))
+
+        # ---- check side: normalized min-sum / sum-product --------------
+        if alg == "minsum":
+            for i in range(code.mb):
+                slots = [int(e) for e in code.row_edges[i] if e >= 0]
+                msgs = [v2c_chk[e] for e in slots]
+                signs = [_sign(m) for m in msgs]
+                mags = [np.abs(m) for m in msgs]
+                # Sequential sign product and two-smallest magnitudes.
+                sign_all = signs[0]
+                for sgn in signs[1:]:
+                    sign_all = sign_all * sgn
+                m1 = mags[0]
+                m2 = np.full_like(m1, np.inf)
+                idx1 = np.zeros_like(m1, dtype=np.int32)
+                for k in range(1, len(mags)):
+                    is_new_min = mags[k] < m1
+                    m2 = np.where(is_new_min, m1, np.minimum(m2, mags[k]))
+                    idx1 = np.where(is_new_min, np.int32(k), idx1)
+                    m1 = np.where(is_new_min, mags[k], m1)
+                coset = syn_sign[i]
+                for k, e in enumerate(slots):
+                    other_min = np.where(idx1 == k, m2, m1)
+                    out = alpha * coset * sign_all * signs[k] * other_min
+                    c2v_chk[e] = out.astype(_F32)
+        elif alg == "sumprod":
+            for i in range(code.mb):
+                slots = [int(e) for e in code.row_edges[i] if e >= 0]
+                msgs = [np.clip(v2c_chk[e], -30.0, 30.0) for e in slots]
+                tanhs = [np.tanh(m * _F32(0.5)) for m in msgs]
+                d = len(slots)
+                # Leave-one-out products via prefix/suffix (sequential order).
+                prefix = [np.ones((z,), dtype=_F32)]
+                for k in range(d - 1):
+                    prefix.append(prefix[-1] * tanhs[k])
+                suffix = [np.ones((z,), dtype=_F32)]
+                for k in range(d - 1, 0, -1):
+                    suffix.append(suffix[-1] * tanhs[k])
+                suffix = suffix[::-1]
+                coset = syn_sign[i]
+                eps = _F32(1e-12)
+                for k, e in enumerate(slots):
+                    t = np.clip(prefix[k] * suffix[k], -1 + 1e-7, 1 - 1e-7)
+                    out = _F32(2.0) * np.arctanh(t) * coset
+                    c2v_chk[e] = np.where(np.abs(t) < eps, _F32(0.0), out).astype(_F32)
+        else:
+            raise ValueError(f"unknown alg {alg!r}")
+
+        # ---- posterior, hard decision, syndrome check ------------------
+        c2v_var = np.empty_like(c2v_chk)
+        for e in range(e_count):
+            c2v_var[e] = np.roll(c2v_chk[e], int(code.edge_shift[e]))
+        post = llr.copy()
+        for j in range(code.nb):
+            for slot in range(code.dv_max):
+                e = int(code.col_edges[j, slot])
+                if e >= 0:
+                    post[j] = post[j] + c2v_var[e]
+        bits = (post < 0).astype(np.uint8)
+        syn_hat = encode_syndrome(code, bits)
+        if np.array_equal(syn_hat, syn_target):
+            return DecodeResult(bits=bits, converged=True, iterations=it_used)
+
+    return DecodeResult(bits=bits, converged=False, iterations=it_used)

@@ -1,0 +1,181 @@
+"""Sifting chain: time-offset acquisition, coincidence matching, splicing.
+
+Reference capability (SURVEY.md §3 #3-7, §4.1-4.2):
+
+- `pfind` — FFT cross-correlation of both parties' binned arrival times to
+  acquire the coarse time offset (reference: remotecrypto/pfind.c).
+- `costream` — windowed coincidence matching of remote (Alice) events against
+  local (Bob) events with clock-drift servo, basis compare, sifted-key
+  extraction and the type-4 index for the peer (reference:
+  remotecrypto/costream.c — the only O(raw-event-rate) hot loop).
+- `splicer` — Alice-side gather of her stored raw key by the peer's type-4
+  index (reference: remotecrypto/splicer.c).
+
+TPU-first design: events live in fixed-capacity sorted arrays (padding sorts
+last), coincidence search is a vectorized `searchsorted` (sorted-merge), the
+drift servo is a `lax.scan` over sub-windows, and compaction of matched events
+uses the stable-argsort trick so every shape stays static under jit.
+
+Device-time contract: TPUs have no fast int64, so on-device event times are
+**int32 in 125 ps units, rebased to the window start** — one matching window
+spans at most 2^29 units (~67 ms); longer streams are processed as a sequence
+of windows (which the epoch framing provides anyway).  Padding entries carry
+``DEVICE_PAD`` (2^30), which sorts last and cannot overflow a distance
+computation against any in-window time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["pfind", "coincidence_match", "splice", "compact_by_mask",
+           "SiftResult", "DEVICE_PAD", "MAX_SPAN", "rebase_times"]
+
+DEVICE_PAD = np.int32(2 ** 30)   # padding time: sorts last, overflow-safe
+MAX_SPAN = 2 ** 29               # max window span in 125 ps units (~67 ms)
+
+
+def rebase_times(times_i64: np.ndarray, window_start: int) -> np.ndarray:
+    """Host-side: rebase int64 event times to int32 device times; padding
+    (any time outside [start, start + MAX_SPAN)) becomes DEVICE_PAD."""
+    t = np.asarray(times_i64, np.int64) - np.int64(window_start)
+    out = np.where((t >= 0) & (t < MAX_SPAN), t, np.int64(DEVICE_PAD))
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# pfind — FFT cross-correlation time-offset acquisition (SURVEY.md §4.2)
+# ---------------------------------------------------------------------------
+
+def pfind(times_a: jax.Array, times_b: jax.Array, span: int,
+          num_bins: int = 1 << 20, refine: bool = True) -> jax.Array:
+    """Estimate Bob's clock offset relative to Alice via FFT cross-correlation.
+
+    times_*: int32 device times (see rebase_times), padding at DEVICE_PAD.
+    span: window length in units (< MAX_SPAN).  Returns int32 offset
+    estimate (positive: Bob's events lag Alice's).
+
+    Two-stage: coarse bins over the full span pick the peak, then (optionally)
+    a fine pass with unit-resolution bins over ±2 coarse bins refines it.
+    """
+
+    def xcorr_peak(ta, tb, lo, hi, bins):
+        scale = (hi - lo) / bins
+        ia = jnp.clip(((ta - lo) / scale).astype(jnp.int32), 0, bins - 1)
+        ib = jnp.clip(((tb - lo) / scale).astype(jnp.int32), 0, bins - 1)
+        va = jnp.logical_and(ta >= lo, ta < hi).astype(jnp.float32)
+        vb = jnp.logical_and(tb >= lo, tb < hi).astype(jnp.float32)
+        ha = jnp.zeros(bins, jnp.float32).at[ia].add(va)
+        hb = jnp.zeros(bins, jnp.float32).at[ib].add(vb)
+        fa = jnp.fft.rfft(ha)
+        fb = jnp.fft.rfft(hb)
+        corr = jnp.fft.irfft(jnp.conj(fa) * fb, bins)
+        peak = jnp.argmax(corr)
+        # Lags > bins/2 are negative offsets (circular correlation).
+        lag = jnp.where(peak > bins // 2, peak - bins, peak)
+        return (lag * scale).astype(jnp.int32)
+
+    coarse = xcorr_peak(times_a, times_b, 0, span, num_bins)
+    if not refine:
+        return coarse
+    # Fine pass: with Alice shifted by the coarse offset, the mean residual of
+    # nearest-neighbor matches within ±2 coarse bins IS the remaining offset
+    # (same servo statistic costream tracks; reuse the matcher).
+    scale = max(1, span // num_bins)
+    dummy = jnp.zeros(times_b.shape, jnp.uint8)
+    r = coincidence_match(times_a, dummy[: times_a.shape[0]], times_b, dummy,
+                          dummy, coarse, window=2 * scale)
+    return coarse + r.residual.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# costream — coincidence matching + basis compare (SURVEY.md §4.1)
+# ---------------------------------------------------------------------------
+
+class SiftResult(NamedTuple):
+    matched: jax.Array        # (Na,) bool — Alice event matched a Bob event in window
+    bob_index: jax.Array      # (Na,) int32 — index of matched Bob event (undefined if not matched)
+    basis_ok: jax.Array       # (Na,) bool — bases agree (sifted set = matched & basis_ok)
+    bob_bits: jax.Array       # (Na,) uint8 — Bob's bit at the matched event
+    residual: jax.Array       # scalar f32 — mean time residual of matches (servo input)
+    offset_used: jax.Array    # scalar int64 — offset applied
+
+
+def coincidence_match(times_a: jax.Array, basis_a: jax.Array,
+                      times_b: jax.Array, basis_b: jax.Array, bits_b: jax.Array,
+                      offset: jax.Array, window: int) -> SiftResult:
+    """Match each Alice event to the nearest Bob event within ±window.
+
+    All arrays fixed-capacity; Bob times must be sorted ascending with padding
+    at +inf-like values.  This is the reference costream hot loop as one
+    vectorized sorted-merge (searchsorted), O((Na+Nb) log Nb) with no
+    data-dependent shapes.
+    """
+    ta = times_a + offset  # move Alice onto Bob's clock
+    pos = jnp.searchsorted(times_b, ta)  # first Bob event >= ta
+    nb = times_b.shape[0]
+    right = jnp.clip(pos, 0, nb - 1)
+    left = jnp.clip(pos - 1, 0, nb - 1)
+    d_right = jnp.abs(times_b[right] - ta)
+    d_left = jnp.abs(times_b[left] - ta)
+    take_left = d_left <= d_right
+    best = jnp.where(take_left, left, right)
+    dist = jnp.where(take_left, d_left, d_right)
+    # Padding guard: a padded Alice entry must never match (padded Bob entries
+    # sit at DEVICE_PAD too, zero distance away).
+    valid_a = times_a < DEVICE_PAD
+    valid_b = times_b[best] < DEVICE_PAD
+    matched = (dist <= window) & valid_a & valid_b
+    basis_ok = basis_a == basis_b[best]
+    signed_res = (times_b[best] - ta).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(matched), 1)
+    residual = jnp.sum(jnp.where(matched, signed_res, 0.0)) / denom
+    return SiftResult(matched=matched, bob_index=best.astype(jnp.int32),
+                      basis_ok=basis_ok, bob_bits=bits_b[best].astype(jnp.uint8),
+                      residual=residual, offset_used=offset)
+
+
+def coincidence_scan(times_a, basis_a, times_b, basis_b, bits_b,
+                     offset0: jax.Array, window: int, num_chunks: int,
+                     servo_gain: float = 0.5):
+    """Chunked coincidence matching with a clock-drift servo.
+
+    Splits Alice's (sorted) events into `num_chunks` equal chunks and runs
+    `coincidence_match` per chunk under `lax.scan`, updating the offset by
+    `servo_gain * residual` after each chunk — the reference costream's drift
+    tracking loop as a scan (SURVEY.md §4.1 "servo").
+    """
+    na = times_a.shape[0]
+    chunk = na // num_chunks
+    ta = times_a[: chunk * num_chunks].reshape(num_chunks, chunk)
+    ba = basis_a[: chunk * num_chunks].reshape(num_chunks, chunk)
+
+    def step(offset, inp):
+        t, b = inp
+        r = coincidence_match(t, b, times_b, basis_b, bits_b, offset, window)
+        new_offset = offset + (servo_gain * r.residual).astype(jnp.int32)
+        return new_offset, r
+
+    final_offset, results = jax.lax.scan(step, offset0, (ta, ba))
+    return final_offset, results
+
+
+# ---------------------------------------------------------------------------
+# splicer — Alice-side gather by the peer's index (SURVEY.md §3 #7)
+# ---------------------------------------------------------------------------
+
+def splice(alice_bits: jax.Array, sift_index: jax.Array) -> jax.Array:
+    """Alice's sifted key: gather her raw bits at the type-4 index positions."""
+    return jnp.take(alice_bits, sift_index, axis=-1).astype(jnp.uint8)
+
+
+def compact_by_mask(values: jax.Array, mask: jax.Array):
+    """Stable compaction with static shapes: move selected entries to the
+    front, preserving order; returns (compacted, count).  Entries past count
+    are arbitrary padding."""
+    order = jnp.argsort(~mask, stable=True)
+    return jnp.take(values, order, axis=-1), jnp.sum(mask)

@@ -1,0 +1,61 @@
+"""Tests for QC-LDPC code construction (BASELINE.json config 1 code)."""
+
+import numpy as np
+import pytest
+
+from qtpu.ldpc.codes import make_regular_code, make_rate_ladder
+
+
+def test_regular_code_structure():
+    code = make_regular_code(4096)
+    assert code.n == 4096
+    assert code.m == 2048
+    assert code.rate == pytest.approx(0.5)
+    h = code.to_dense()
+    assert np.all(h.sum(axis=1) == 6), "every check has degree 6"
+    assert np.all(h.sum(axis=0) == 3), "every variable has degree 3"
+
+
+def test_construction_is_deterministic():
+    a = make_regular_code(4096, seed=42)
+    b = make_regular_code(4096, seed=42)
+    np.testing.assert_array_equal(a.edge_shift, b.edge_shift)
+    np.testing.assert_array_equal(a.edge_row, b.edge_row)
+    c = make_regular_code(4096, seed=43)
+    assert not np.array_equal(a.edge_shift, c.edge_shift)
+
+
+def test_no_lifted_4cycles():
+    code = make_regular_code(4096)
+    h = code.to_dense().astype(np.int32)
+    # A 4-cycle exists iff two rows share >= 2 columns.
+    gram = h @ h.T
+    np.fill_diagonal(gram, 0)
+    assert gram.max() <= 1, "girth >= 6 expected after shift repair"
+
+
+def test_small_code_sizes():
+    for n, dv, dc in [(1024, 3, 6), (2048, 3, 6), (4096, 4, 8)]:
+        code = make_regular_code(n, dv, dc)
+        assert code.n == n
+        h = code.to_dense()
+        assert np.all(h.sum(axis=1) == dc)
+        assert np.all(h.sum(axis=0) == dv)
+
+
+def test_rate_ladder():
+    code = make_regular_code(4096)
+    ladder = make_rate_ladder(code)
+    rates = ladder.rates()
+    assert rates[0] == pytest.approx(0.5)
+    assert all(b > a for a, b in zip(rates, rates[1:])), "rates ascend"
+    assert rates[-1] >= 0.85
+    # QBER-driven selection: low QBER → high rate, high QBER → low rate.
+    assert ladder.select(0.01) > ladder.select(0.05)
+    assert ladder.select(0.10) == 0
+    # Leakage bookkeeping is consistent with the rate formula.
+    for step in ladder.steps:
+        r = step.effective_rate(code)
+        assert step.leaked_bits(code) == pytest.approx(
+            (1 - r) * (code.n - len(step.punct_cols) * code.z
+                       - len(step.short_cols) * code.z), abs=1e-6)

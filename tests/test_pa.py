@@ -1,0 +1,55 @@
+"""Toeplitz privacy amplification: FFT path vs direct GF(2) golden model."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from qtpu import pa, prng
+
+
+@pytest.mark.parametrize("n,m", [(64, 32), (1000, 300), (4096, 2048), (8192, 1500)])
+def test_fft_matches_direct(n, m):
+    rng = np.random.default_rng(n + m)
+    t = rng.integers(0, 2, m + n - 1).astype(np.uint8)
+    x = rng.integers(0, 2, n).astype(np.uint8)
+    want = pa.toeplitz_hash_golden(t, x, m)
+    got = np.asarray(pa.toeplitz_hash_fft(jnp.asarray(t), jnp.asarray(x[None]), m))[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_per_block_seeds():
+    rng = np.random.default_rng(5)
+    n, m, B = 2048, 900, 4
+    t = rng.integers(0, 2, (B, m + n - 1)).astype(np.uint8)
+    x = rng.integers(0, 2, (B, n)).astype(np.uint8)
+    got = np.asarray(pa.toeplitz_hash_fft(jnp.asarray(t), jnp.asarray(x), m))
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], pa.toeplitz_hash_golden(t[b], x[b], m))
+
+
+def test_linearity():
+    """Toeplitz hashing is GF(2)-linear: T(x^y) = T(x)^T(y)."""
+    rng = np.random.default_rng(9)
+    n, m = 1024, 512
+    t = rng.integers(0, 2, m + n - 1).astype(np.uint8)
+    x = rng.integers(0, 2, n).astype(np.uint8)
+    y = rng.integers(0, 2, n).astype(np.uint8)
+    hx = pa.toeplitz_hash_golden(t, x, m)
+    hy = pa.toeplitz_hash_golden(t, y, m)
+    hxy = pa.toeplitz_hash_golden(t, x ^ y, m)
+    np.testing.assert_array_equal(hx ^ hy, hxy)
+
+
+def test_seed_from_protocol_prng_is_deterministic():
+    k1 = prng.derive(prng.root_key(1234), "pa", 7)
+    k2 = prng.derive(prng.root_key(1234), "pa", 7)
+    t1 = np.asarray(prng.toeplitz_seed_bits(k1, 128, 64))
+    t2 = np.asarray(prng.toeplitz_seed_bits(k2, 128, 64))
+    np.testing.assert_array_equal(t1, t2)
+    k3 = prng.derive(prng.root_key(1234), "pa", 8)
+    assert not np.array_equal(t1, np.asarray(prng.toeplitz_seed_bits(k3, 128, 64)))
+
+
+def test_final_key_length():
+    assert pa.final_key_length(4096, 1280, 256, 50, 64) == 4096 - 1280 - 256 - 50 - 64
+    assert pa.final_key_length(100, 90, 20, 50, 64) == 0

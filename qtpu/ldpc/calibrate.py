@@ -1,0 +1,117 @@
+"""Rate-ladder calibration: measured per-rung QBER ceilings.
+
+The reference selects EC parameters from the QBER estimate with hand-tuned
+constants (SURVEY.md §4.3 "compute e; choose passes/k").  The TPU build makes
+this empirical and explicit: for each ladder rung we measure the frame-error
+rate on simulated BSC batches and record the largest QBER whose FER stays
+under a target; ``RateLadder.select`` then picks the highest rung whose
+ceiling (scaled by a safety factor for estimation noise) admits the estimate.
+
+Run ``python -m qtpu.ldpc.calibrate`` to (re)produce the table; frozen
+results for the default configurations live in ``DEFAULT_CALIBRATION`` and
+are baked into ladders built by ``make_rate_ladder``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from qtpu.ldpc.codes import RateLadder, RateStep, make_rate_ladder
+from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
+from qtpu.ldpc.encode import make_batch_encoder
+
+__all__ = ["measure_fer", "calibrate_ladder", "DEFAULT_CALIBRATION"]
+
+
+def _positions(step: RateStep):
+    z, nb = step.code.z, step.code.nb
+    special = set(step.punct_cols) | set(step.short_cols)
+    def expand(cs):
+        cs = np.asarray(sorted(cs), np.int32)
+        if cs.size == 0:
+            return np.zeros(0, np.int64)
+        return (cs[:, None] * z + np.arange(z)[None, :]).reshape(-1)
+    return (expand([c for c in range(nb) if c not in special]),
+            expand(step.punct_cols), expand(step.short_cols))
+
+
+def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
+                max_iters: int = 60, alg: str = "minsum",
+                _cache: dict = {}) -> tuple[float, float]:
+    """Simulate `blocks` reconciliations at the given true QBER.
+
+    Returns (frame error rate, mean BP iterations).  A frame errs if the
+    decoded payload differs from Alice's payload anywhere (verification-hash
+    failures in the real pipeline).
+    """
+    code = step.code
+    ck = (id(step.code), max_iters, alg)
+    if ck not in _cache:
+        _cache[ck] = (make_batch_encoder(code),
+                      make_batch_decoder(code, max_iters, alg))
+    enc, dec = _cache[ck]
+    pay, pun, sho = _positions(step)
+    rng = np.random.default_rng(seed)
+    B, n = blocks, code.n
+    x = rng.integers(0, 2, (B, n)).astype(np.uint8)       # incl punct+short fill
+    syn = np.asarray(enc(jnp.asarray(x)))
+    noise = (rng.random((B, pay.size)) < qber).astype(np.uint8)
+    y_pay = x[:, pay] ^ noise
+    mag = np.float32(np.log((1.0 - qber) / qber))
+    llr = np.zeros((B, n), np.float32)
+    llr[:, pay] = np.where(y_pay.astype(bool), -mag, mag)
+    if sho.size:
+        llr[:, sho] = np.where(x[:, sho].astype(bool), -BIG_LLR, BIG_LLR)
+    res = dec(jnp.asarray(llr), jnp.asarray(syn))
+    bits = np.asarray(res.bits)
+    errs = (bits[:, pay] != x[:, pay]).any(axis=1)
+    return float(errs.mean()), float(np.asarray(res.iterations).mean())
+
+
+def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,
+                     blocks: int = 256, qber_grid=None,
+                     max_iters: int = 60, alg: str = "minsum",
+                     verbose: bool = False) -> tuple[float, ...]:
+    """Largest grid QBER per rung with FER <= fer_target (0.0 if none)."""
+    if qber_grid is None:
+        qber_grid = [x / 400 for x in range(1, 45)]  # 0.25% .. 11%
+    out = []
+    for step in ladder.steps:
+        best = 0.0
+        for q in qber_grid:
+            fer, iters = measure_fer(step, q, blocks, seed=int(q * 1e6),
+                                     max_iters=max_iters, alg=alg)
+            if fer <= fer_target:
+                best = q
+            else:
+                if verbose:
+                    print(f"  {step.name}: q={q:.4f} FER={fer:.3f} iters={iters:.1f} -> ceiling {best:.4f}")
+                break
+        if verbose:
+            print(f"{step.name}: max_qber={best:.4f}")
+        out.append(best)
+    return tuple(out)
+
+
+# Measured with blocks=256, fer_target=0.05, max_iters=60, normalized min-sum
+# (alpha=13/16), grid step 0.25% — regenerate with `python -m qtpu.ldpc.calibrate`.
+# Key: (n, dv) -> per-rung max QBER for the default target_rates.
+# (TPU v5 lite run, 2026-08-17.)
+DEFAULT_CALIBRATION: dict[tuple[int, int], tuple[float, ...]] = {
+    (1024, 3): (0.065, 0.045, 0.0225, 0.0125, 0.005),
+    (4096, 3): (0.0725, 0.0525, 0.0275, 0.015, 0.0075),
+}
+
+
+def main() -> None:
+    import sys
+    for n in (1024, 4096):
+        ladder = make_rate_ladder(n)
+        print(f"n={n}:")
+        ceilings = calibrate_ladder(ladder, verbose=True)
+        print(f"  ({n}, 3): {ceilings},")
+
+
+if __name__ == "__main__":
+    main()

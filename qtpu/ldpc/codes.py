@@ -252,16 +252,22 @@ def make_regular_code(n: int, dv: int = 3, dc: int = 6, z: Optional[int] = None,
 
 @dataclasses.dataclass(frozen=True)
 class RateStep:
-    """One rung of the rate ladder.
+    """One rung of the rate ladder: a mother code plus light puncture/shorten.
 
+    Each rung has its OWN mother code — a (dv, dc)-regular code whose design
+    rate 1 - dv/dc sits at or just below the rung's target — because heavy
+    puncturing of a single low-rate mother destroys BP convergence (a lesson
+    from round-1 loopback testing: >35% punctured variables never decode).
     Whole base columns are punctured or shortened so the QC structure (and all
-    static shapes) survive: a punctured column's z variables carry bits that
-    are *random and undisclosed* (decoder prior LLR = 0, they are recovered by
-    BP and then discarded); a shortened column's z variables carry bits *known
-    to both parties* from the shared protocol PRNG (prior LLR = ±inf).
+    static shapes) survive:
 
-    Effective rate for syndrome reconciliation with p punctured and s shortened
-    bits out of n, syndrome length m (Elkouss-style rate-adaptive scheme):
+      * punctured column: z variables carry bits *random and undisclosed*
+        (decoder prior LLR = 0; recovered by BP, then discarded);
+      * shortened column: z variables carry bits *known to both parties* from
+        the shared protocol PRNG (prior LLR = ±inf).
+
+    Effective rate for syndrome reconciliation with p punctured and s
+    shortened bits out of n, syndrome length m (Elkouss-style scheme):
 
         payload  k_eff = n - p - s          (sifted-key bits carried)
         leakage  = m - p                    (syndrome reveals m parities, but p
@@ -271,44 +277,63 @@ class RateStep:
     """
 
     name: str
+    code: QCCode
     punct_cols: tuple[int, ...]   # base columns carrying random pad bits
     short_cols: tuple[int, ...]   # base columns carrying PRNG-known bits
 
-    def effective_rate(self, code: QCCode) -> float:
+    def effective_rate(self, code: Optional[QCCode] = None) -> float:
+        code = code or self.code
         p = len(self.punct_cols) * code.z
         s = len(self.short_cols) * code.z
         return 1.0 - (code.m - p) / (code.n - p - s)
 
-    def payload_bits(self, code: QCCode) -> int:
+    def payload_bits(self, code: Optional[QCCode] = None) -> int:
+        code = code or self.code
         return code.n - (len(self.punct_cols) + len(self.short_cols)) * code.z
 
-    def leaked_bits(self, code: QCCode) -> int:
+    def leaked_bits(self, code: Optional[QCCode] = None) -> int:
+        code = code or self.code
         return code.m - len(self.punct_cols) * code.z
 
 
 @dataclasses.dataclass(frozen=True)
 class RateLadder:
-    """A mother code plus an ordered list of rate steps (low rate → high rate).
+    """Ordered rate steps (low rate → high rate), one mother code each.
 
-    Rate selection: given a QBER estimate, pick the highest-rate step whose
-    code still converges with margin — operationally, the highest R_eff with
-    R_eff <= (1 - f * h2(qber)) for reconciliation efficiency f (>1).
+    Rate selection: given a QBER estimate, pick the highest-rate step with
+    R_eff <= 1 - f * h2(qber) for reconciliation efficiency f (>1).  f
+    absorbs the gap to capacity of finite-length regular codes under
+    normalized min-sum; 1.35-1.5 is realistic for n ~ 4k (f=1.1 was tried
+    and produced high frame-error rates).
     """
 
-    code: QCCode
     steps: tuple[RateStep, ...]
+    # Measured per-rung QBER ceilings (see qtpu.ldpc.calibrate); when present
+    # they override the capacity formula — empirical beats analytic here.
+    max_qber: Optional[tuple[float, ...]] = None
 
-    def select(self, qber: float, efficiency: float = 1.1) -> int:
-        """Return the index of the chosen step for a given QBER estimate."""
+    def select(self, qber: float, efficiency: float = 1.4) -> int:
+        """Return the index of the chosen step for a given QBER estimate.
+
+        With calibration data: the highest rung whose measured ceiling admits
+        the estimate (falls back to rung 0 — strongest code — beyond all
+        ceilings; callers should abort the window if even rung 0's ceiling is
+        exceeded).  Without: capacity formula with efficiency factor f.
+        """
+        if self.max_qber is not None:
+            # Rungs are rate-ascending with descending ceilings; pick the
+            # highest-rate admissible rung.
+            admissible = [i for i, c in enumerate(self.max_qber) if qber <= c]
+            return max(admissible) if admissible else 0
         capacity = 1.0 - efficiency * _h2(qber)
         best = 0
         for idx, step in enumerate(self.steps):
-            if step.effective_rate(self.code) <= capacity:
+            if step.effective_rate() <= capacity:
                 best = idx
         return best
 
     def rates(self) -> list[float]:
-        return [s.effective_rate(self.code) for s in self.steps]
+        return [s.effective_rate() for s in self.steps]
 
 
 def _h2(p: float) -> float:
@@ -317,42 +342,54 @@ def _h2(p: float) -> float:
     return float(-p * np.log2(p) - (1 - p) * np.log2(1 - p))
 
 
-def make_rate_ladder(code: QCCode, target_rates: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
-                     seed: int = 0x0AD0) -> RateLadder:
-    """Build a puncture/shorten ladder hitting ``target_rates`` from one mother code.
+def make_rate_ladder(n: int, dv: int = 3,
+                     target_rates: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.875),
+                     seed: int = 0x0AD0,
+                     max_punct_frac: float = 0.15,
+                     z: Optional[int] = None) -> RateLadder:
+    """Build the rate ladder for length-n blocks.
 
-    Raising the rate from the mother R0 = 1 - mb/nb uses puncturing; the
-    lowest rung uses the plain mother code.  Column choices are deterministic
-    from ``seed`` (protocol configuration — both parties must agree).
-
-    Solving R = 1 - (m - p)/(n - p - s) with s = 0 for p:
-        p = (m - (1 - R) * n) / R       (puncture only, R >= R0)
+    For each target rate R the highest (dv, dc)-regular design rate
+    1 - dv/dc <= R (with dc a divisor of nb*dv) picks the mother code; the
+    residual gap to R closes by puncturing whole columns (capped at
+    ``max_punct_frac`` of n), or by shortening when the mother overshoots.
+    All choices are deterministic from ``seed`` — the ladder is protocol
+    configuration shared by both parties.
     """
-    rng = np.random.default_rng(seed)
-    # Puncture high-degree-ish columns? For a regular code all columns are
-    # equivalent; choose a deterministic random order.
-    col_order = rng.permutation(code.nb)
     steps = []
+    probe = make_regular_code(n, dv, 2 * dv, z=z, seed=seed)  # fixes nb, z
+    nb, zz = probe.nb, probe.z
+    # dc must divide nb*dv and stay <= nb (else a simple base graph can't
+    # host row degree dc over nb columns).
+    divisors = [d for d in range(dv + 1, nb + 1) if (nb * dv) % d == 0]
+    rng = np.random.default_rng(seed)
     for r in target_rates:
+        # Mother design rate at or just below target.
+        cands = [d for d in divisors if 1.0 - dv / d <= r + 1e-9]
+        dc = max(cands) if cands else min(divisors)
+        code = make_regular_code(n, dv, dc, z=zz, seed=seed + dc)
+        col_order = rng.permutation(code.nb)
         r0 = code.rate
-        if r <= r0 + 1e-9:
-            # At or below mother rate: shorten to *lower* the rate.
-            # R = 1 - m/(n - s)  =>  s = n - m/(1-R)
+        if r > r0 + 1e-9:
+            # Puncture up: p = (m - (1 - R) n) / R, capped.
+            p_bits = (code.m - (1.0 - r) * code.n) / r
+            p_cols = int(round(p_bits / code.z))
+            p_cols = max(0, min(p_cols, int(max_punct_frac * code.nb)))
+            steps.append(RateStep(name=f"r{r:.3f}", code=code,
+                                  punct_cols=tuple(int(c) for c in col_order[:p_cols]),
+                                  short_cols=()))
+        else:
+            # Shorten down: s = n - m / (1 - R).
             s_bits = code.n - code.m / max(1e-9, (1.0 - r))
             s_cols = int(round(max(0.0, s_bits) / code.z))
             s_cols = min(s_cols, code.nb - code.mb - 1)
-            steps.append(RateStep(
-                name=f"r{r:.2f}",
-                punct_cols=(),
-                short_cols=tuple(int(c) for c in col_order[:s_cols]),
-            ))
-        else:
-            p_bits = (code.m - (1.0 - r) * code.n) / r
-            p_cols = int(round(p_bits / code.z))
-            p_cols = max(0, min(p_cols, code.mb - 1))
-            steps.append(RateStep(
-                name=f"r{r:.2f}",
-                punct_cols=tuple(int(c) for c in col_order[:p_cols]),
-                short_cols=(),
-            ))
-    return RateLadder(code=code, steps=tuple(steps))
+            steps.append(RateStep(name=f"r{r:.3f}", code=code,
+                                  punct_cols=(),
+                                  short_cols=tuple(int(c) for c in col_order[:s_cols])))
+    # Attach measured QBER ceilings when this configuration has been
+    # calibrated (qtpu.ldpc.calibrate).
+    from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION  # local import: no cycle at module load
+    max_qber = DEFAULT_CALIBRATION.get((n, dv))
+    if max_qber is not None and len(max_qber) != len(steps):
+        max_qber = None
+    return RateLadder(steps=tuple(steps), max_qber=max_qber)

@@ -155,7 +155,10 @@ def make_batch_decoder(code: QCCode, max_iters: int = 50, alg: str = "minsum",
             ok = jnp.all(syn_hat == syn_bool, axis=(0, 1))  # (B,)
             return v2c, ok
 
-        c2v0 = jnp.zeros((E, z, bsz), dtype=jnp.float32)
+        # Derive the zero init from the inputs so its sharding variance
+        # matches under shard_map (a plain zeros() is "unvarying" and breaks
+        # the while_loop carry typing on a mesh).
+        c2v0 = jnp.zeros((E, z, bsz), dtype=jnp.float32) + 0.0 * llr_i[:1, :1, :]
         total0 = _totals(llr_i, c2v0)
         v2c0, ok0 = converged_mask(total0, c2v0)
 
@@ -178,7 +181,8 @@ def make_batch_decoder(code: QCCode, max_iters: int = 50, alg: str = "minsum",
             ok = jnp.logical_or(ok, ok_new)
             return c2v, total, v2c, ok, iters, it + 1
 
-        state = (c2v0, total0, v2c0, ok0, jnp.zeros((bsz,), jnp.int32), jnp.int32(0))
+        iters0 = jnp.zeros((bsz,), jnp.int32) + 0 * ok0.astype(jnp.int32)
+        state = (c2v0, total0, v2c0, ok0, iters0, jnp.int32(0))
         c2v, total, v2c, ok, iters, _ = jax.lax.while_loop(cond, body, state)
 
         bits = jnp.transpose((total < 0).astype(jnp.uint8), (2, 0, 1)).reshape(bsz, nb * z)

@@ -1,0 +1,121 @@
+"""The classical channel between Alice and Bob.
+
+Reference capability: ``remotecrypto/transferd.c`` (SURVEY.md §3 #8, §4.5) —
+one authenticated TCP connection per party pair shipping opaque framed
+messages both ways.
+
+Two implementations of one interface (SURVEY.md §6.8 "inter-party channel"):
+
+- `LoopbackLink` — both parties in one process, an in-memory queue pair; the
+  test/integration mode (SURVEY.md §5.3).
+- `TcpLink` — asyncio-free blocking socket channel with the same 4-byte
+  length-prefixed framing the wire format already carries; one side listens,
+  the other connects.  (A C++ transferd equivalent lives in
+  qtpu/runtime/transferd — see qtpu.runtime.)
+
+Links carry *bytes* (packed Messages); the pipeline layer owns semantics.
+"""
+
+from __future__ import annotations
+
+import collections
+import socket
+import struct
+from typing import Optional
+
+from qtpu.messages import Message, pack_message, unpack_message
+
+__all__ = ["LoopbackLink", "TcpLink", "make_loopback_pair"]
+
+
+class LoopbackLink:
+    """One endpoint of an in-memory duplex channel."""
+
+    def __init__(self, tx: collections.deque, rx: collections.deque):
+        self._tx = tx
+        self._rx = rx
+        self.bytes_sent = 0
+        self.bytes_received = 0
+
+    def send(self, msg: Message) -> None:
+        data = pack_message(msg)
+        self.bytes_sent += len(data)
+        self._tx.append(data)
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        if not self._rx:
+            return None
+        data = self._rx.popleft()
+        self.bytes_received += len(data)
+        return unpack_message(data)
+
+    def pending(self) -> int:
+        return len(self._rx)
+
+
+def make_loopback_pair() -> tuple[LoopbackLink, LoopbackLink]:
+    a_to_b: collections.deque = collections.deque()
+    b_to_a: collections.deque = collections.deque()
+    return LoopbackLink(a_to_b, b_to_a), LoopbackLink(b_to_a, a_to_b)
+
+
+class TcpLink:
+    """Blocking TCP message channel (transferd role) for two-process runs."""
+
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self.bytes_sent = 0
+        self.bytes_received = 0
+
+    @classmethod
+    def listen(cls, host: str, port: int) -> "TcpLink":
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind((host, port))
+        srv.listen(1)
+        conn, _ = srv.accept()
+        srv.close()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        return cls(conn)
+
+    @classmethod
+    def connect(cls, host: str, port: int, retries: int = 50) -> "TcpLink":
+        import time
+        last = None
+        for _ in range(retries):
+            try:
+                s = socket.create_connection((host, port), timeout=5.0)
+                s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                return cls(s)
+            except OSError as e:
+                last = e
+                time.sleep(0.1)
+        raise ConnectionError(f"could not connect to {host}:{port}: {last}")
+
+    def send(self, msg: Message) -> None:
+        data = pack_message(msg)
+        self._sock.sendall(struct.pack("<I", len(data)) + data)
+        self.bytes_sent += len(data) + 4
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        self._sock.settimeout(timeout)
+        try:
+            head = self._recv_exact(4)
+        except socket.timeout:
+            return None
+        (n,) = struct.unpack("<I", head)
+        data = self._recv_exact(n)
+        self.bytes_received += n + 4
+        return unpack_message(data)
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return buf
+
+    def close(self) -> None:
+        self._sock.close()

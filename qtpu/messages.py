@@ -1,0 +1,175 @@
+"""Typed inter-party EC message schema with a packed wire format.
+
+Reference capability: the EC packet layer — ``subcomponents/comms.c`` +
+``definitions/ec_packet_def.h`` (SURVEY.md §3 #15, Appendix A): every message
+carries {tag, length, subtype, epoch-range} so a streaming pipeline can route
+it to in-flight blocks; payloads are subtype-specific.
+
+Fresh design (not a field-for-field copy): dataclasses with explicit pack/
+unpack to little-endian bytes.  The epoch-range addressing idea is kept as
+``window_id`` — the streaming pipeline's unit of work (a fixed batch of key
+blocks), which plays the reference's {start epoch, number of epochs} role.
+
+Subtype families map to the LDPC protocol of SURVEY.md §4.4 (one round trip)
+plus the QBER handshake of §4.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from enum import IntEnum
+from typing import ClassVar, Type
+
+import numpy as np
+
+from qtpu.framing import pack_bits, unpack_bits
+
+__all__ = [
+    "MsgType", "Message", "QberDisclose", "RateSelect", "Syndromes",
+    "VerifyAck", "Abort", "pack_message", "unpack_message",
+]
+
+MAGIC = 0x51C0FFEE  # wire tag (reference: packet tag field)
+_HEADER = struct.Struct("<IIII")  # magic, total_len, subtype, window_id
+
+
+class MsgType(IntEnum):
+    QBER_DISCLOSE = 1   # Alice → Bob: her values at the shared test positions
+    RATE_SELECT = 2     # Bob → Alice: QBER estimate + chosen rate rung
+    SYNDROMES = 3       # Alice → Bob: per-block syndromes + verify hashes
+    VERIFY_ACK = 4      # Bob → Alice: per-block pass/fail mask
+    ABORT = 5           # either → either: tear down the window/session
+
+
+@dataclasses.dataclass
+class Message:
+    window_id: int
+    TYPE: ClassVar[MsgType]
+
+    def payload_bytes(self) -> bytes:
+        raise NotImplementedError
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "Message":
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class QberDisclose(Message):
+    """Alice's bits at the protocol-PRNG-chosen test positions (k bits)."""
+    num_bits: int
+    bits: np.ndarray  # (k,) uint8
+    TYPE: ClassVar[MsgType] = MsgType.QBER_DISCLOSE
+
+    def payload_bytes(self) -> bytes:
+        words = pack_bits(self.bits)
+        return struct.pack("<I", self.num_bits) + words.tobytes()
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "QberDisclose":
+        (k,) = struct.unpack_from("<I", data)
+        words = np.frombuffer(data[4:], dtype=np.uint32)
+        return cls(window_id=window_id, num_bits=k, bits=unpack_bits(words, k))
+
+
+@dataclasses.dataclass
+class RateSelect(Message):
+    """Bob's QBER estimate and the ladder rung he wants Alice to encode at."""
+    qber_milli: int     # QBER in 1/1000 units (wire-friendly)
+    rate_index: int
+    TYPE: ClassVar[MsgType] = MsgType.RATE_SELECT
+
+    def payload_bytes(self) -> bytes:
+        return struct.pack("<II", self.qber_milli, self.rate_index)
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "RateSelect":
+        q, r = struct.unpack_from("<II", data)
+        return cls(window_id=window_id, qber_milli=q, rate_index=r)
+
+
+@dataclasses.dataclass
+class Syndromes(Message):
+    """The one-way reconciliation message: per-block syndromes + 64-bit
+    verification hashes (SURVEY.md §4.4 — ONE message replaces Cascade's
+    dozens of round trips)."""
+    rate_index: int
+    num_blocks: int
+    syndrome_bits: int            # m per block
+    syndromes: np.ndarray         # (B, m) uint8
+    verify_hashes: np.ndarray     # (B, 64) uint8
+    TYPE: ClassVar[MsgType] = MsgType.SYNDROMES
+
+    def payload_bytes(self) -> bytes:
+        syn_words = pack_bits(self.syndromes)      # (B, ceil(m/32))
+        hash_words = pack_bits(self.verify_hashes)  # (B, 2)
+        head = struct.pack("<III", self.rate_index, self.num_blocks,
+                           self.syndrome_bits)
+        return head + syn_words.tobytes() + hash_words.tobytes()
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "Syndromes":
+        r, b, m = struct.unpack_from("<III", data)
+        off = 12
+        syn_w = (m + 31) // 32
+        syn_bytes = b * syn_w * 4
+        syn_words = np.frombuffer(data[off:off + syn_bytes], np.uint32).reshape(b, syn_w)
+        hash_words = np.frombuffer(data[off + syn_bytes:], np.uint32).reshape(b, 2)
+        return cls(window_id=window_id, rate_index=r, num_blocks=b,
+                   syndrome_bits=m, syndromes=unpack_bits(syn_words, m),
+                   verify_hashes=unpack_bits(hash_words, 64))
+
+
+@dataclasses.dataclass
+class VerifyAck(Message):
+    """Bob's per-block verification results (True = hashes matched)."""
+    num_blocks: int
+    ok_mask: np.ndarray  # (B,) uint8
+    TYPE: ClassVar[MsgType] = MsgType.VERIFY_ACK
+
+    def payload_bytes(self) -> bytes:
+        return struct.pack("<I", self.num_blocks) + pack_bits(self.ok_mask).tobytes()
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "VerifyAck":
+        (b,) = struct.unpack_from("<I", data)
+        words = np.frombuffer(data[4:], np.uint32)
+        return cls(window_id=window_id, num_blocks=b, ok_mask=unpack_bits(words, b))
+
+
+@dataclasses.dataclass
+class Abort(Message):
+    reason: str = ""
+    TYPE: ClassVar[MsgType] = MsgType.ABORT
+
+    def payload_bytes(self) -> bytes:
+        return self.reason.encode("utf-8")
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "Abort":
+        return cls(window_id=window_id, reason=data.decode("utf-8"))
+
+
+_REGISTRY: dict[int, Type[Message]] = {
+    int(c.TYPE): c for c in (QberDisclose, RateSelect, Syndromes, VerifyAck, Abort)
+}
+
+
+def pack_message(msg: Message) -> bytes:
+    payload = msg.payload_bytes()
+    header = _HEADER.pack(MAGIC, _HEADER.size + len(payload), int(msg.TYPE),
+                          msg.window_id)
+    return header + payload
+
+
+def unpack_message(data: bytes) -> Message:
+    magic, total, subtype, window_id = _HEADER.unpack_from(data)
+    if magic != MAGIC:
+        raise ValueError(f"bad magic {magic:#x}")
+    if total != len(data):
+        raise ValueError(f"length mismatch: header {total}, got {len(data)}")
+    cls = _REGISTRY.get(subtype)
+    if cls is None:
+        raise ValueError(f"unknown subtype {subtype}")
+    return cls.from_payload(window_id, data[_HEADER.size:])

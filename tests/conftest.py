@@ -9,16 +9,16 @@ tests on the real chip instead (slow first compile).
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-if os.environ.get("QTPU_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# NOTE: `import pytest` already imports jax via a site plugin, so environment
+# variables are too late here — use jax.config, which applies as long as the
+# backend hasn't initialized yet.
+if os.environ.get("QTPU_TEST_TPU", "0") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

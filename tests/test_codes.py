@@ -44,8 +44,7 @@ def test_small_code_sizes():
 
 
 def test_rate_ladder():
-    code = make_regular_code(4096)
-    ladder = make_rate_ladder(code)
+    ladder = make_rate_ladder(4096)
     rates = ladder.rates()
     assert rates[0] == pytest.approx(0.5)
     assert all(b > a for a, b in zip(rates, rates[1:])), "rates ascend"
@@ -53,9 +52,17 @@ def test_rate_ladder():
     # QBER-driven selection: low QBER → high rate, high QBER → low rate.
     assert ladder.select(0.01) > ladder.select(0.05)
     assert ladder.select(0.10) == 0
+    # Default config carries measured QBER ceilings (qtpu.ldpc.calibrate).
+    assert ladder.max_qber is not None
+    assert all(a >= b for a, b in zip(ladder.max_qber, ladder.max_qber[1:])), \
+        "ceilings descend as rate ascends"
     # Leakage bookkeeping is consistent with the rate formula.
     for step in ladder.steps:
-        r = step.effective_rate(code)
-        assert step.leaked_bits(code) == pytest.approx(
+        code = step.code
+        r = step.effective_rate()
+        assert step.leaked_bits() == pytest.approx(
             (1 - r) * (code.n - len(step.punct_cols) * code.z
                        - len(step.short_cols) * code.z), abs=1e-6)
+        # Every mother code in the ladder is a valid simple (3, dc) graph.
+        h = code.to_dense()
+        assert np.all(h.sum(axis=0) == 3)

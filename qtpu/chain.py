@@ -1,0 +1,190 @@
+"""The full post-processing chain: raw events → final key (BASELINE config 4).
+
+Reference capability: the complete qcrypto signal chain of SURVEY.md §1 —
+chopper/chopper2 epoch framing → pfind offset acquisition → costream
+coincidence sifting (+ type-4 index to the source side) → splicer → the EC
+pipeline (QBER → LDPC → verification → PA).  The daemons-and-files mechanism
+becomes two in-process session objects exchanging typed messages over one
+link; every protocol artifact that crossed the reference's TCP channel
+crosses the link here (timing+basis, sift index, EC packets).
+
+Layout per sift window (one simulation window, <= 67 ms of wall-clock time so
+device times fit the int32 contract — SURVEY.md framing notes):
+
+    AliceChain                              BobChain
+    ──────────                              ────────
+    detector events (simulated)             detector events (simulated)
+    TimingBasis(times, basis)  ──────────►  [first window: pfind offset]
+                                            coincidence match + drift servo
+                               ◄──────────  SiftIndex(matched alice events)
+    splice → sifted bits → EC session       sifted bits → EC session
+    ... EC protocol (qtpu.pipeline) continues on the same link ...
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu import sift
+from qtpu.channel import EntangledPairSource, PairEvents
+from qtpu.framing import TIME_UNITS_PER_NS
+from qtpu.link import make_loopback_pair
+from qtpu.messages import Message, SiftIndex, TimingBasis
+from qtpu.pipeline import AliceSession, BobSession, PipelineConfig
+
+__all__ = ["ChainConfig", "AliceChain", "BobChain", "run_chain_loopback"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    coincidence_window: int = 40        # 125 ps units (5 ns)
+    pfind_bins: int = 1 << 18
+    window_s: float = 0.05              # sift window length (must fit int32 span)
+    servo_gain: float = 0.5
+
+
+class AliceChain:
+    """Source side: sends timing+basis, splices her key at Bob's index."""
+
+    def __init__(self, config: ChainConfig, session_seed: int, link):
+        self.config = config
+        self.link = link
+        self.ec = AliceSession(config.pipeline, session_seed, link)
+        self._window_bits: dict[int, np.ndarray] = {}
+        self._sift_window = 0
+
+    def push_events(self, times_i32: np.ndarray, detectors: np.ndarray) -> None:
+        """One sift window of local detector events (already rebased)."""
+        w = self._sift_window
+        self._sift_window += 1
+        basis = (detectors >> 1) & 1
+        bits = detectors & 1
+        self._window_bits[w] = bits.astype(np.uint8)
+        self.link.send(TimingBasis(window_id=w, times=times_i32,
+                                   basis=basis.astype(np.uint8)))
+
+    def pump(self) -> bool:
+        msg = self.link.recv()
+        if msg is None:
+            return False
+        self._dispatch(msg)
+        return True
+
+    def _dispatch(self, msg: Message) -> None:
+        if isinstance(msg, SiftIndex):
+            bits = self._window_bits.pop(msg.window_id)
+            sifted = np.asarray(sift.splice(jnp.asarray(bits),
+                                            jnp.asarray(msg.indices)))
+            self.ec.push_sifted(sifted)
+        else:
+            self.ec.on_message(msg)
+        if self.ec.can_start_window():
+            self.ec.start_window()
+
+    def idle(self) -> bool:
+        """True when nothing more can happen without new events or peer input."""
+        return (not self._window_bits and not self.ec._inflight
+                and not self.ec.can_start_window())
+
+
+class BobChain:
+    """Receiver side: acquires offset, coincidence-matches, emits SiftIndex."""
+
+    def __init__(self, config: ChainConfig, session_seed: int, link):
+        self.config = config
+        self.link = link
+        self.ec = BobSession(config.pipeline, session_seed, link)
+        self._events: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._pending_timing: dict[int, TimingBasis] = {}
+        self._sift_window = 0
+        self.offset: Optional[int] = None
+
+    def push_events(self, times_i32: np.ndarray, detectors: np.ndarray) -> None:
+        w = self._sift_window
+        self._events[w] = (
+            np.asarray(times_i32, np.int32), np.asarray(detectors, np.uint8))
+        self._sift_window += 1
+        # The peer's timing info may have raced ahead of local acquisition
+        # (two-process mode); process it now that our events exist.
+        if w in self._pending_timing:
+            self._on_timing(self._pending_timing.pop(w))
+
+    def pump(self) -> bool:
+        msg = self.link.recv()
+        if msg is None:
+            return False
+        self._dispatch(msg)
+        return True
+
+    def _dispatch(self, msg: Message) -> None:
+        if isinstance(msg, TimingBasis):
+            self._on_timing(msg)
+        else:
+            self.ec.on_message(msg)
+
+    def idle(self) -> bool:
+        return not self._pending_timing and not self.ec._inflight
+
+    def _on_timing(self, msg: TimingBasis) -> None:
+        if msg.window_id not in self._events:
+            self._pending_timing[msg.window_id] = msg
+            return
+        times_b, det_b = self._events.pop(msg.window_id)
+        basis_b = (det_b >> 1) & 1
+        bits_b = det_b & 1
+        ta = jnp.asarray(msg.times)
+        tb = jnp.asarray(times_b)
+        if self.offset is None:
+            span = int(self.config.window_s * 1e9 * TIME_UNITS_PER_NS)
+            self.offset = int(sift.pfind(ta, tb, span,
+                                         num_bins=self.config.pfind_bins))
+        r = sift.coincidence_match(
+            ta, jnp.asarray(msg.basis),
+            tb, jnp.asarray(basis_b), jnp.asarray(bits_b),
+            jnp.int32(self.offset), self.config.coincidence_window)
+        # Drift servo: track the residual for the next window.
+        self.offset += int(self.config.servo_gain * float(r.residual))
+        sifted_mask = np.asarray(r.matched) & np.asarray(r.basis_ok)
+        idx = np.flatnonzero(sifted_mask).astype(np.int32)
+        bob_bits = np.asarray(r.bob_bits)[idx]
+        self.ec.push_sifted(bob_bits.astype(np.uint8))
+        self.link.send(SiftIndex(window_id=msg.window_id, indices=idx))
+
+
+def run_chain_loopback(config: ChainConfig, num_windows: int = 30,
+                       source: Optional[EntangledPairSource] = None,
+                       seed: int = 0, session_seed: int = 0x5E55):
+    """End-to-end loopback: simulated entangled source through the full chain.
+
+    Returns (alice_chain, bob_chain) after the stream quiesces.
+    """
+    rng = np.random.default_rng(seed)
+    src = source or EntangledPairSource(pair_rate_hz=200_000,
+                                        window_s=config.window_s)
+    la, lb = make_loopback_pair()
+    alice = AliceChain(config, session_seed, la)
+    bob = BobChain(config, session_seed, lb)
+
+    for w in range(num_windows):
+        ev: PairEvents = src.generate(rng, start_epoch=w)
+        alice.push_events(sift.rebase_times(ev.alice.times, 0),
+                          ev.alice.detectors)
+        bob.push_events(sift.rebase_times(ev.bob.times, 0), ev.bob.detectors)
+        # Pump both sides until quiescent before the next window arrives.
+        for _ in range(10_000):
+            progressed = bob.pump()
+            progressed = alice.pump() or progressed
+            if not progressed:
+                break
+    # Final drain.
+    for _ in range(10_000):
+        progressed = bob.pump()
+        progressed = alice.pump() or progressed
+        if not progressed:
+            break
+    return alice, bob

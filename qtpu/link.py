@@ -64,6 +64,11 @@ class TcpLink:
 
     def __init__(self, sock: socket.socket):
         self._sock = sock
+        # Generous buffers: one party may batch several windows of messages
+        # while the peer is busy compiling/decoding (blocking sends on both
+        # sides with tiny buffers would deadlock).
+        for opt in (socket.SO_SNDBUF, socket.SO_RCVBUF):
+            sock.setsockopt(socket.SOL_SOCKET, opt, 8 * 1024 * 1024)
         self.bytes_sent = 0
         self.bytes_received = 0
 
@@ -93,16 +98,24 @@ class TcpLink:
         raise ConnectionError(f"could not connect to {host}:{port}: {last}")
 
     def send(self, msg: Message) -> None:
+        # Sends must be fully blocking: a timeout inherited from a previous
+        # recv() would abort sendall() mid-frame for payloads larger than the
+        # socket buffer, desynchronizing the length-prefixed stream.
         data = pack_message(msg)
+        self._sock.settimeout(None)
         self._sock.sendall(struct.pack("<I", len(data)) + data)
         self.bytes_sent += len(data) + 4
 
     def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        # The timeout applies only to *waiting for a frame*; once the header
+        # arrives, the payload is read blocking so a slow sender can't leave
+        # us with a half-frame.
         self._sock.settimeout(timeout)
         try:
             head = self._recv_exact(4)
-        except socket.timeout:
+        except (socket.timeout, TimeoutError):
             return None
+        self._sock.settimeout(None)
         (n,) = struct.unpack("<I", head)
         data = self._recv_exact(n)
         self.bytes_received += n + 4

@@ -27,7 +27,8 @@ from qtpu.framing import pack_bits, unpack_bits
 
 __all__ = [
     "MsgType", "Message", "QberDisclose", "RateSelect", "Syndromes",
-    "VerifyAck", "Abort", "pack_message", "unpack_message",
+    "VerifyAck", "Abort", "TimingBasis", "SiftIndex",
+    "pack_message", "unpack_message",
 ]
 
 MAGIC = 0x51C0FFEE  # wire tag (reference: packet tag field)
@@ -40,6 +41,8 @@ class MsgType(IntEnum):
     SYNDROMES = 3       # Alice → Bob: per-block syndromes + verify hashes
     VERIFY_ACK = 4      # Bob → Alice: per-block pass/fail mask
     ABORT = 5           # either → either: tear down the window/session
+    TIMING_BASIS = 6    # Alice → Bob: event times + basis (type-2 role)
+    SIFT_INDEX = 7      # Bob → Alice: matched-event index (type-4 role)
 
 
 @dataclasses.dataclass
@@ -151,8 +154,52 @@ class Abort(Message):
         return cls(window_id=window_id, reason=data.decode("utf-8"))
 
 
+@dataclasses.dataclass
+class TimingBasis(Message):
+    """Alice's compressed timing + basis info for one sift window — the
+    reference type-2 stream (SURVEY.md Appendix A), sent source → receiver
+    so costream can coincidence-match."""
+    times: np.ndarray    # (Na,) int32 device times (rebased to window start)
+    basis: np.ndarray    # (Na,) uint8 0/1
+    TYPE: ClassVar[MsgType] = MsgType.TIMING_BASIS
+
+    def payload_bytes(self) -> bytes:
+        n = len(self.times)
+        return (struct.pack("<I", n)
+                + np.asarray(self.times, np.int32).tobytes()
+                + pack_bits(np.asarray(self.basis, np.uint8)).tobytes())
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "TimingBasis":
+        (n,) = struct.unpack_from("<I", data)
+        times = np.frombuffer(data[4:4 + 4 * n], np.int32)
+        words = np.frombuffer(data[4 + 4 * n:], np.uint32)
+        return cls(window_id=window_id, times=times,
+                   basis=unpack_bits(words, n))
+
+
+@dataclasses.dataclass
+class SiftIndex(Message):
+    """Bob's sifting decision for one window — the reference type-4 stream:
+    indices of Alice's events that were coincidence-matched with agreeing
+    basis, in order.  Alice splices her raw key at these positions."""
+    indices: np.ndarray  # (K,) int32 indices into Alice's window events
+    TYPE: ClassVar[MsgType] = MsgType.SIFT_INDEX
+
+    def payload_bytes(self) -> bytes:
+        return (struct.pack("<I", len(self.indices))
+                + np.asarray(self.indices, np.int32).tobytes())
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "SiftIndex":
+        (n,) = struct.unpack_from("<I", data)
+        return cls(window_id=window_id,
+                   indices=np.frombuffer(data[4:4 + 4 * n], np.int32))
+
+
 _REGISTRY: dict[int, Type[Message]] = {
-    int(c.TYPE): c for c in (QberDisclose, RateSelect, Syndromes, VerifyAck, Abort)
+    int(c.TYPE): c for c in (QberDisclose, RateSelect, Syndromes, VerifyAck,
+                             Abort, TimingBasis, SiftIndex)
 }
 
 

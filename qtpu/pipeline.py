@@ -237,6 +237,34 @@ class _Party:
             return np.zeros(0, np.uint8)
         return np.concatenate(self.final_key_words)
 
+    # -- checkpoint / resume (SURVEY.md §6.4) ----------------------------
+    # The durable unit is the stream cursor: window counter, leakage ledger,
+    # and the unconsumed sifted-bit buffer.  In-flight windows are NOT
+    # checkpointed — like the reference's crashed processblocks they are
+    # simply lost and the stream resumes at the cursor (at-least-once
+    # semantics, §6.3).
+
+    def checkpoint_state(self) -> dict:
+        from qtpu.framing import pack_bits
+        return {
+            "window_id": self.window_id,
+            "ledger": self.ledger.as_dict(),
+            "buffer_bits": int(len(self.buffer)),
+            "buffer_words": [int(w) for w in pack_bits(self.buffer)] if len(self.buffer) else [],
+            "final_bits": int(sum(len(w) for w in self.final_key_words)),
+        }
+
+    def restore_state(self, state: dict) -> None:
+        from qtpu.framing import unpack_bits
+        self.window_id = int(state["window_id"])
+        self.ledger = Ledger(**state["ledger"])
+        n = int(state["buffer_bits"])
+        if n:
+            words = np.asarray(state["buffer_words"], np.uint32)
+            self.buffer = unpack_bits(words, n).astype(np.uint8)
+        else:
+            self.buffer = np.zeros(0, np.uint8)
+
 
 class AliceSession(_Party):
     """Source-side (encoder) session: discloses QBER bits, sends syndromes."""

@@ -86,11 +86,15 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
 
     host, _, port = args.address.rpartition(":")
     host = host or "127.0.0.1"
+    if getattr(args, "link", "python") == "native":
+        from qtpu.runtime import NativeTcpLink as LinkCls
+    else:
+        LinkCls = TcpLink
     if party == "alice":
-        link = TcpLink.listen(host, int(port))
+        link = LinkCls.listen(host, int(port))
         chain = AliceChain(cfg.chain, cfg.session_seed, link)
     else:
-        link = TcpLink.connect(host, int(port))
+        link = LinkCls.connect(host, int(port))
         chain = BobChain(cfg.chain, cfg.session_seed, link)
 
     src = _build_chain_parts(cfg)
@@ -188,6 +192,33 @@ def cmd_calibrate(cfg: RunConfig, args) -> int:
     return 0
 
 
+def cmd_cascade(cfg: RunConfig, args) -> int:
+    """Cross-check: run the Cascade golden model and contrast its leakage and
+    interactivity with the LDPC ladder at the same QBER."""
+    from qtpu.ldpc.cascade import ParityOracle, cascade_reconcile
+    from qtpu.ldpc.codes import make_rate_ladder
+    rng = np.random.default_rng(args.seed)
+    n, q = args.n, args.qber
+    alice = rng.integers(0, 2, n).astype(np.uint8)
+    bob = alice ^ (rng.random(n) < q).astype(np.uint8)
+    res = cascade_reconcile(ParityOracle(alice), bob, q, session_seed=args.seed)
+    ok = bool(np.array_equal(res.bits, alice))
+    ladder = make_rate_ladder(cfg.chain.pipeline.n, cfg.chain.pipeline.dv,
+                              cfg.chain.pipeline.target_rates)
+    step = ladder.steps[ladder.select(q)]
+    print(json.dumps({
+        "n": n, "qber": q, "corrected": ok,
+        "cascade": {"leaked_bits": res.leaked_bits,
+                    "round_trips": res.round_trips,
+                    "errors_fixed": res.corrected_errors},
+        "ldpc": {"rung": step.name,
+                 "leaked_bits_per_block": step.leaked_bits(),
+                 "payload_bits_per_block": step.payload_bits(),
+                 "round_trips": 1},
+    }))
+    return 0 if ok else 1
+
+
 def cmd_fer(cfg: RunConfig, args) -> int:
     from qtpu.ldpc.calibrate import measure_fer
     from qtpu.ldpc.codes import make_rate_ladder
@@ -211,6 +242,9 @@ def main(argv=None) -> int:
     for party in ("alice", "bob"):
         sp = sub.add_parser(party)
         sp.add_argument("address", help="host:port (alice listens, bob connects)")
+        sp.add_argument("--link", choices=("python", "native"), default="python",
+                        help="classical-channel transport: pure-Python TcpLink "
+                             "or the C++ transferd library (qtpu.runtime)")
     sub.add_parser("bench")
     spc = sub.add_parser("calibrate")
     spc.add_argument("--blocks", type=int, default=256)
@@ -218,6 +252,10 @@ def main(argv=None) -> int:
     spf.add_argument("--rung", type=int, required=True)
     spf.add_argument("--qber", type=float, required=True)
     spf.add_argument("--blocks", type=int, default=256)
+    spk = sub.add_parser("cascade")
+    spk.add_argument("--n", type=int, default=4096)
+    spk.add_argument("--qber", type=float, default=0.03)
+    spk.add_argument("--seed", type=int, default=0)
 
     args = p.parse_args(argv)
     import os
@@ -244,6 +282,8 @@ def main(argv=None) -> int:
         return cmd_calibrate(cfg, args)
     if args.cmd == "fer":
         return cmd_fer(cfg, args)
+    if args.cmd == "cascade":
+        return cmd_cascade(cfg, args)
     return 2
 
 

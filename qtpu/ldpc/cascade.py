@@ -1,0 +1,141 @@
+"""Cascade/BICONF golden model (CPU, NumPy) — the upstream interactive
+error-correction protocol, kept as a cross-check oracle.
+
+Reference capability: ``errorcorrection/algorithms/cascade_biconf.c``
+(SURVEY.md §3 #12, §4.3) — multi-pass permuted parity compare with binary
+search on mismatching blocks and cascade-back through earlier passes.  The
+``-ldpc`` fork's whole point is to supersede this with one-way syndrome
+reconciliation; per SURVEY.md it is built here only as a golden model:
+it validates QBER/leakage accounting, provides a correctness oracle for
+small blocks, and quantifies the interactivity cost LDPC removes (tests
+compare round-trip counts).
+
+Protocol realism: Alice is modeled as a ``ParityOracle`` that answers parity
+queries; every query leaks exactly one bit and costs one round trip.  All
+permutations derive from the shared protocol PRNG (qtpu.prng), as both
+parties must compute them identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from qtpu import prng
+
+__all__ = ["ParityOracle", "cascade_reconcile", "CascadeResult"]
+
+
+class ParityOracle:
+    """Alice's side of Cascade: answers subset-parity queries.
+
+    Counts queries — each is one disclosed bit AND one round trip on the
+    classical channel (the reference's interactivity bottleneck).
+    """
+
+    def __init__(self, bits: np.ndarray):
+        self._bits = np.asarray(bits, np.uint8)
+        self.queries = 0
+
+    def parity(self, idx: np.ndarray) -> int:
+        self.queries += 1
+        return int(self._bits[idx].sum() & 1)
+
+
+@dataclasses.dataclass
+class CascadeResult:
+    bits: np.ndarray          # Bob's corrected key
+    leaked_bits: int          # parities disclosed
+    round_trips: int          # interactive exchanges used
+    corrected_errors: int
+
+
+def _binary_search_flip(oracle: ParityOracle, bob: np.ndarray,
+                        idx: np.ndarray) -> int:
+    """Find and flip the (an) erroneous bit inside block ``idx`` whose total
+    parity mismatches; returns the flipped position."""
+    while len(idx) > 1:
+        half = len(idx) // 2
+        left = idx[:half]
+        pa = oracle.parity(left)
+        pb = int(bob[left].sum() & 1)
+        if pa != pb:
+            idx = left
+        else:
+            idx = idx[half:]
+    bob[idx[0]] ^= 1
+    return int(idx[0])
+
+
+def cascade_reconcile(oracle: ParityOracle, bob_bits: np.ndarray,
+                      qber_est: float, session_seed: int,
+                      num_passes: int = 4) -> CascadeResult:
+    """Run Cascade against a parity oracle (Alice).
+
+    Initial block size k1 ≈ 0.73/q (Brassard–Salvail); doubles each pass;
+    cascade-back re-searches earlier-pass blocks whose parity is broken by a
+    flip in a later pass.
+    """
+    bob = np.asarray(bob_bits, np.uint8).copy()
+    n = len(bob)
+    k1 = max(2, int(round(0.73 / max(qber_est, 1e-3))))
+    root = prng.root_key(session_seed)
+
+    # Per pass: permutation and block membership of every position.
+    perms: list[np.ndarray] = []
+    block_of: list[np.ndarray] = []
+    blocks: list[list[np.ndarray]] = []
+    parities_ok: list[np.ndarray] = []
+    corrected = 0
+
+    for p in range(num_passes):
+        k = min(n, k1 << p)
+        # Deterministic pass permutation from the protocol PRNG (pass 0 is
+        # unpermuted, as in the reference).
+        perm = (np.arange(n) if p == 0
+                else np.argsort(jax_uniform(root, p, n), kind="stable"))
+        perms.append(perm)
+        bl = [perm[i:i + k] for i in range(0, n, k)]
+        blocks.append(bl)
+        bo = np.empty(n, np.int32)
+        for bi, idx in enumerate(bl):
+            bo[idx] = bi
+        block_of.append(bo)
+
+        # Initial parity sweep for this pass.
+        odd = []
+        for bi, idx in enumerate(bl):
+            pa = oracle.parity(idx)
+            pb = int(bob[idx].sum() & 1)
+            if pa != pb:
+                odd.append((p, bi))
+        parities_ok.append(None)  # parity state tracked via the work queue
+
+        # Work queue with cascade-back: fixing a bit flips the parity of the
+        # blocks containing it in every other pass.
+        queue = odd
+        while queue:
+            pp, bi = queue.pop()
+            idx = blocks[pp][bi]
+            pa = oracle.parity(idx)
+            pb = int(bob[idx].sum() & 1)
+            if pa == pb:
+                continue
+            pos = _binary_search_flip(oracle, bob, idx)
+            corrected += 1
+            for p2 in range(len(blocks)):
+                if p2 == pp:
+                    continue
+                queue.append((p2, int(block_of[p2][pos])))
+
+    return CascadeResult(bits=bob, leaked_bits=oracle.queries,
+                         round_trips=oracle.queries,
+                         corrected_errors=corrected)
+
+
+def jax_uniform(root, p: int, n: int) -> np.ndarray:
+    """Protocol-deterministic uniforms for the pass-p permutation."""
+    import jax
+    key = prng.derive(root, "cascade-perm", p)
+    return np.asarray(jax.random.uniform(key, (n,)))

@@ -94,23 +94,25 @@ def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,
     return tuple(out)
 
 
-# Measured with blocks=256, fer_target=0.05, max_iters=60, normalized min-sum
-# (alpha=13/16), grid step 0.25% — regenerate with `python -m qtpu.ldpc.calibrate`.
-# Key: (n, dv) -> per-rung max QBER for the default target_rates.
-# (TPU v5 lite run, 2026-08-17.)
-DEFAULT_CALIBRATION: dict[tuple[int, int], tuple[float, ...]] = {
-    (1024, 3): (0.065, 0.045, 0.0225, 0.0125, 0.005),
-    (4096, 3): (0.0725, 0.0525, 0.0275, 0.015, 0.0075),
+# Measured with blocks=256, fer_target=0.05, max_iters=60, grid step 0.25% —
+# regenerate with `python -m qtpu.ldpc.calibrate`.
+# Key: (n, dv, alg) -> per-rung max QBER for the default target_rates.
+# (TPU v5 lite runs, 2026-08-17; minsum = normalized alpha 13/16.)
+DEFAULT_CALIBRATION: dict[tuple[int, int, str], tuple[float, ...]] = {
+    (1024, 3, "minsum"): (0.065, 0.045, 0.0225, 0.0125, 0.005),
+    (4096, 3, "minsum"): (0.0725, 0.0525, 0.0275, 0.015, 0.0075),
 }
 
 
 def main() -> None:
     import sys
-    for n in (1024, 4096):
-        ladder = make_rate_ladder(n)
-        print(f"n={n}:")
-        ceilings = calibrate_ladder(ladder, verbose=True)
-        print(f"  ({n}, 3): {ceilings},")
+    algs = sys.argv[1:] or ["minsum"]
+    for alg in algs:
+        for n in (1024, 4096):
+            ladder = make_rate_ladder(n)
+            print(f"n={n} alg={alg}:")
+            ceilings = calibrate_ladder(ladder, verbose=True, alg=alg)
+            print(f"  ({n}, 3, {alg!r}): {ceilings},")
 
 
 if __name__ == "__main__":

@@ -346,7 +346,8 @@ def make_rate_ladder(n: int, dv: int = 3,
                      target_rates: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.875),
                      seed: int = 0x0AD0,
                      max_punct_frac: float = 0.15,
-                     z: Optional[int] = None) -> RateLadder:
+                     z: Optional[int] = None,
+                     alg: str = "minsum") -> RateLadder:
     """Build the rate ladder for length-n blocks.
 
     For each target rate R the highest (dv, dc)-regular design rate
@@ -389,7 +390,7 @@ def make_rate_ladder(n: int, dv: int = 3,
     # Attach measured QBER ceilings when this configuration has been
     # calibrated (qtpu.ldpc.calibrate).
     from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION  # local import: no cycle at module load
-    max_qber = DEFAULT_CALIBRATION.get((n, dv))
+    max_qber = DEFAULT_CALIBRATION.get((n, dv, alg))
     if max_qber is not None and len(max_qber) != len(steps):
         max_qber = None
     return RateLadder(steps=tuple(steps), max_qber=max_qber)

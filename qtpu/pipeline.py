@@ -101,12 +101,16 @@ class _Party:
     def __init__(self, config: PipelineConfig, session_seed: int):
         self.config = config
         self.ladder: RateLadder = make_rate_ladder(
-            config.n, config.dv, config.target_rates, seed=config.code_seed)
+            config.n, config.dv, config.target_rates, seed=config.code_seed,
+            alg=config.alg)
         self.session = prng.root_key(session_seed)
         self.ledger = Ledger()
         self.buffer = np.zeros(0, np.uint8)   # sifted-bit stream buffer
         self.window_id = 0
         self.final_key_words: list[np.ndarray] = []
+        # (window_id, block_index) provenance per final-key segment: lets the
+        # application detect/align desyncs after asymmetric aborts.
+        self.final_key_index: list[tuple[int, int]] = []
         self.metrics: list[WindowMetrics] = []
         # Per-rate-step device programs, compiled lazily on first use.
         self._encoders: dict[int, Callable] = {}
@@ -213,6 +217,7 @@ class _Party:
         for b in range(self.config.blocks_per_window):
             if ok_mask[b]:
                 self.final_key_words.append(fk[b])
+                self.final_key_index.append((window_id, b))
                 total += l_final
         return total
 
@@ -300,14 +305,34 @@ class AliceSession(_Party):
         elif isinstance(msg, VerifyAck):
             self._on_verify_ack(msg)
         elif isinstance(msg, Abort):
-            self._inflight.pop(msg.window_id, None)
+            self._on_abort(msg)
         else:
             raise ValueError(f"Alice got unexpected {type(msg).__name__}")
 
+    def abort_window(self, window_id: int, reason: str = "timeout") -> None:
+        """Abandon an in-flight window (lost message / timeout — SURVEY.md
+        §6.3 at-least-once semantics): consumed payload bits are charged as
+        discarded, the peer is told to mirror the abort, and the stream
+        resumes at the next window."""
+        st = self._inflight.pop(window_id, None)
+        if st is None:
+            return
+        if "payload" in st:
+            self.ledger.add(discarded_bits=st["payload"].size)
+        self.window_id = max(self.window_id, window_id + 1)
+        self.link.send(Abort(window_id=window_id, reason=reason))
+
+    def _on_abort(self, msg: Abort) -> None:
+        st = self._inflight.pop(msg.window_id, None)
+        if st is not None and "payload" in st:
+            self.ledger.add(discarded_bits=st["payload"].size)
+        self.window_id = max(self.window_id, msg.window_id + 1)
+
     def _on_rate_select(self, msg: RateSelect) -> None:
         w = msg.window_id
-        st = self._inflight[w]
-        assert st["stage"] == "qber_sent"
+        st = self._inflight.get(w)
+        if st is None or st["stage"] != "qber_sent":
+            return  # duplicate or stale — at-least-once tolerance
         r = msg.rate_index
         step = self.ladder.steps[r]
         pos = self._step_positions[r]
@@ -327,8 +352,9 @@ class AliceSession(_Party):
 
     def _on_verify_ack(self, msg: VerifyAck) -> None:
         w = msg.window_id
-        st = self._inflight.pop(w)
-        assert st["stage"] == "syndromes_sent"
+        st = self._inflight.pop(w, None)
+        if st is None or st["stage"] != "syndromes_sent":
+            return  # duplicate or stale ack
         ok = msg.ok_mask.astype(bool)
         payload = st["payload"]
         r = st["rate_index"]
@@ -355,12 +381,22 @@ class BobSession(_Party):
         elif isinstance(msg, Syndromes):
             self._on_syndromes(msg)
         elif isinstance(msg, Abort):
-            self._inflight.pop(msg.window_id, None)
+            self._on_abort(msg)
         else:
             raise ValueError(f"Bob got unexpected {type(msg).__name__}")
 
+    def _on_abort(self, msg: Abort) -> None:
+        # Mirror the peer's abort so both ledgers and stream cursors agree
+        # (the qber segment was consumed symmetrically; payload only ever
+        # leaves the buffer at the syndrome stage, which cannot have happened
+        # if the window is being aborted).
+        self._inflight.pop(msg.window_id, None)
+        self.window_id = max(self.window_id, msg.window_id + 1)
+
     def _on_qber(self, msg: QberDisclose) -> None:
         w = msg.window_id
+        if w in self._inflight:
+            return  # duplicate disclose
         seg = self._take(self.config.qber_segment_bits)
         pos = self._qber_positions(w)
         mine = seg[pos]
@@ -379,8 +415,10 @@ class BobSession(_Party):
 
     def _on_syndromes(self, msg: Syndromes) -> None:
         w = msg.window_id
-        st = self._inflight.pop(w)
-        assert st["stage"] == "rate_sent" and st["rate_index"] == msg.rate_index
+        st = self._inflight.pop(w, None)
+        if st is None or st["stage"] != "rate_sent":
+            return  # duplicate or aborted window
+        assert st["rate_index"] == msg.rate_index
         r, q = msg.rate_index, st["qber"]
         step = self.ladder.steps[r]
         assert msg.syndrome_bits == step.code.m

@@ -74,6 +74,10 @@ def cmd_demo(cfg: RunConfig, args) -> int:
     if cfg.checkpoint_path:
         with open(cfg.checkpoint_path, "w") as f:
             json.dump(bob.ec.checkpoint_state(), f)
+    if cfg.keystore_path:
+        from qtpu import keystore
+        keystore.write_keys(cfg.keystore_path,
+                            keystore.records_from_session(bob.ec))
     return 0 if ok and len(ka) > 0 else 1
 
 
@@ -155,6 +159,10 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
     ec = chain.ec
     for m in ec.metrics:
         log.window(m)
+    if cfg.keystore_path:
+        from qtpu import keystore
+        keystore.write_keys(cfg.keystore_path,
+                            keystore.records_from_session(ec))
     out = {
         "party": party,
         "windows": ec.window_id,

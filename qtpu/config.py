@@ -41,6 +41,7 @@ class RunConfig:
     num_windows: int = 20
     metrics_path: str = ""           # "" = stderr
     checkpoint_path: str = ""        # "" = no checkpointing
+    keystore_path: str = ""          # "" = no final-key artifact (type-7 analog)
 
 
 def to_dict(cfg: Any) -> dict:

@@ -96,23 +96,29 @@ def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,
 
 # Measured with blocks=256, fer_target=0.05, max_iters=60, grid step 0.25% —
 # regenerate with `python -m qtpu.ldpc.calibrate`.
-# Key: (n, dv, alg) -> per-rung max QBER for the default target_rates.
+# Key: (n, dv, alg, family) -> per-rung max QBER for the default target_rates.
 # (TPU v5 lite runs, 2026-08-17; minsum = normalized alpha 13/16.)
-DEFAULT_CALIBRATION: dict[tuple[int, int, str], tuple[float, ...]] = {
-    (1024, 3, "minsum"): (0.065, 0.045, 0.0225, 0.0125, 0.005),
-    (4096, 3, "minsum"): (0.0725, 0.0525, 0.0275, 0.015, 0.0075),
+DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
+    (1024, 3, "minsum", "regular"): (0.065, 0.045, 0.0225, 0.0125, 0.005),
+    (4096, 3, "minsum", "regular"): (0.0725, 0.0525, 0.0275, 0.015, 0.0075),
+    # Sum-product matches normalized min-sum on these codes (alpha=13/16 is
+    # near-optimal here) — min-sum stays the production path.
+    (1024, 3, "sumprod", "regular"): (0.065, 0.045, 0.0225, 0.01, 0.005),
+    (4096, 3, "sumprod", "regular"): (0.0725, 0.0525, 0.03, 0.015, 0.0075),
 }
 
 
 def main() -> None:
     import sys
-    algs = sys.argv[1:] or ["minsum"]
-    for alg in algs:
+    args = sys.argv[1:] or ["minsum:regular"]
+    for spec in args:
+        alg, _, family = spec.partition(":")
+        family = family or "regular"
         for n in (1024, 4096):
-            ladder = make_rate_ladder(n)
-            print(f"n={n} alg={alg}:")
+            ladder = make_rate_ladder(n, family=family)
+            print(f"n={n} alg={alg} family={family}:")
             ceilings = calibrate_ladder(ladder, verbose=True, alg=alg)
-            print(f"  ({n}, 3, {alg!r}): {ceilings},")
+            print(f"  ({n}, 3, {alg!r}, {family!r}): {ceilings},")
 
 
 if __name__ == "__main__":

@@ -24,3 +24,10 @@ collectives for cross-shard accounting and streaming-hash halos.
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (heavy modules import lazily where possible; these are
+# the names a reference user reaches for — see ARCHITECTURE.md for the
+# component map).
+from qtpu.pipeline import PipelineConfig, AliceSession, BobSession, run_loopback  # noqa: E402,F401
+from qtpu.chain import ChainConfig, AliceChain, BobChain, run_chain_loopback  # noqa: E402,F401
+from qtpu.ldpc import QCCode, make_regular_code, make_rate_ladder  # noqa: E402,F401

@@ -78,43 +78,40 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             # (cast before arithmetic: Mosaic has no int8 multiply)
             return 1.0 - 2.0 * syn_ref[i].astype(jnp.float32)
 
-        def syndrome_ok():
-            """Per-lane convergence: hard bits' syndrome == target, as the
-            min over checks of (sign-product * target-sign)."""
-            worst = None
-            for i in range(mb):
-                prod = coset(i)
-                for e in row_edges[i]:
-                    t_chk = jnp.roll(totals[edge_col[e]], -edge_shift[e], axis=0)
-                    prod = prod * _sign(t_chk)
-                row_min = jnp.min(prod, axis=0, keepdims=True)  # (1, bt)
-                worst = row_min if worst is None else jnp.minimum(worst, row_min)
-            return (worst > 0).astype(jnp.float32)  # (1, bt)
-
-        # --- init: c2v = 0, totals = llr, check initial convergence -------
+        # --- init: c2v = 0, totals = llr ---------------------------------
         # (per-slice writes keep Mosaic stack temporaries small)
         for e in range(E):
             c2v[e] = jnp.zeros((z, bt), jnp.float32)
         for j in range(nb):
             totals[j] = llr_ref[j]
             bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
-        ok0 = syndrome_ok()
-        state[0:1, :] = ok0
+        state[0:1, :] = jnp.zeros((1, bt), jnp.float32)
         state[1:2, :] = jnp.zeros((1, bt), jnp.float32)
 
         def body(carry):
+            """One fused round: the t_chk rolls feed BOTH the syndrome check
+            of the current totals (convergence after `it` updates) and the
+            v2c messages of update it+1 — no separate syndrome pass."""
             it, _ = carry
             ok_prev = state[0:1, :]
 
-            # ---- check-node update (normalized min-sum, syndrome coset) --
+            # ---- phase A: per-row rolls → syndrome + min-sum update ------
             # Rows partition the edge set, so updating c2v row-by-row while
             # reading the fixed `totals` is safe.
+            worst = None
             for i in range(mb):
                 slots = row_edges[i]
-                msgs = []
-                for e in slots:
-                    t_chk = jnp.roll(totals[edge_col[e]], -edge_shift[e], axis=0)
-                    msgs.append(t_chk - c2v[e])
+                t_chks = [jnp.roll(totals[edge_col[e]], -edge_shift[e], axis=0)
+                          for e in slots]
+                # Syndrome of the CURRENT totals for this check row (roll
+                # preserves values, so sign(t_chk) is the hard bit).
+                prod = coset(i)
+                for t in t_chks:
+                    prod = prod * _sign(t)
+                row_min = jnp.min(prod, axis=0, keepdims=True)  # (1, bt)
+                worst = row_min if worst is None else jnp.minimum(worst, row_min)
+
+                msgs = [t_chks[k] - c2v[e] for k, e in enumerate(slots)]
                 signs = [_sign(m) for m in msgs]
                 mags = [jnp.abs(m) for m in msgs]
                 sign_all = signs[0]
@@ -133,32 +130,39 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                     other_min = jnp.where(idx1 == k, m2, m1)
                     c2v[e] = alpha_f * cs * sign_all * signs[k] * other_min
 
-            # ---- variable-node totals (posterior) ------------------------
+            # ---- convergence bookkeeping (totals still pre-update) -------
+            ok_cur = (worst > 0).astype(jnp.float32)
+            newly = jnp.logical_and(ok_cur > 0, ok_prev <= 0)  # (1, bt)
             for j in range(nb):
-                t = llr_ref[j]
-                for e in col_edges[j]:
-                    t = t + jnp.roll(c2v[e], edge_shift[e], axis=0)
-                totals[j] = t
-
-            # ---- convergence, latching, iteration counts -----------------
-            ok_new = syndrome_ok()
-            newly = jnp.logical_and(ok_new > 0, ok_prev <= 0)  # (1, bt)
-            mask = newly  # (1, bt), broadcasts over the z axis per slice
-            for j in range(nb):
-                bits_ref[j] = jnp.where(mask, (totals[j] < 0).astype(jnp.int8),
+                bits_ref[j] = jnp.where(newly, (totals[j] < 0).astype(jnp.int8),
                                         bits_ref[j])
             iters = state[1:2, :]
-            state[1:2, :] = jnp.where(ok_prev > 0, iters,
-                                      (it + 1).astype(jnp.float32))
-            state[0:1, :] = jnp.maximum(ok_prev, ok_new)
-            done = jnp.min(state[0:1, :]) > 0
+            state[1:2, :] = jnp.where(ok_prev > 0, iters, it.astype(jnp.float32))
+            ok = jnp.maximum(ok_prev, ok_cur)
+            state[0:1, :] = ok
+            done = jnp.min(ok) > 0
+
+            # ---- phase B: variable-node totals ---------------------------
+            # Skipped once done, and in the final checking round (so
+            # never-converged lanes keep totals after exactly max_iters
+            # updates — bit-exact with the XLA/golden path).
+            @pl.when(jnp.logical_and(jnp.logical_not(done), it < max_iters))
+            def _():
+                for j in range(nb):
+                    t = llr_ref[j]
+                    for e in col_edges[j]:
+                        t = t + jnp.roll(c2v[e], edge_shift[e], axis=0)
+                    totals[j] = t
+
             return it + 1, done
 
         def cond(carry):
             it, done = carry
-            return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+            # One extra round beyond max_iters: round `it` only *checks* the
+            # totals produced by update `it` (phase B of the previous round).
+            return jnp.logical_and(it <= max_iters, jnp.logical_not(done))
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.min(ok0) > 0))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))
 
         # --- outputs ------------------------------------------------------
         # Converged lanes keep their latched bits; the rest take the current

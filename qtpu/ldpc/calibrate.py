@@ -105,6 +105,13 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     # near-optimal here) — min-sum stays the production path.
     (1024, 3, "sumprod", "regular"): (0.065, 0.045, 0.0225, 0.01, 0.005),
     (4096, 3, "sumprod", "regular"): (0.0725, 0.0525, 0.03, 0.015, 0.0075),
+    # Irregular mothers (irregular_profile): better at low rates, worse at
+    # rate 0.8 — hence the "mixed" default family below.
+    (1024, 3, "minsum", "irregular"): (0.07, 0.05, 0.0225, 0.01, 0.005),
+    (4096, 3, "minsum", "irregular"): (0.0775, 0.055, 0.0275, 0.0125, 0.0075),
+    # Mixed = irregular rungs 0-1 + regular rungs 2-4 (per-rung winners).
+    (1024, 3, "minsum", "mixed"): (0.07, 0.05, 0.0225, 0.0125, 0.005),
+    (4096, 3, "minsum", "mixed"): (0.0775, 0.055, 0.0275, 0.015, 0.0075),
 }
 
 

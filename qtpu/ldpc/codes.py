@@ -427,15 +427,19 @@ def make_rate_ladder(n: int, dv: int = 3,
                      max_punct_frac: float = 0.15,
                      z: Optional[int] = None,
                      alg: str = "minsum",
-                     family: str = "regular") -> RateLadder:
+                     family: str = "mixed") -> RateLadder:
     """Build the rate ladder for length-n blocks.
 
     family="regular": for each target rate R the highest (dv, dc)-regular
     design rate 1 - dv/dc <= R (with dc a divisor of nb*dv) picks the mother
     code.  family="irregular": mother codes use `irregular_profile` degree
-    sequences (better thresholds, fewer iterations).  Either way the residual
-    gap to R closes by puncturing whole columns (capped at ``max_punct_frac``
-    of n), or by shortening when the mother overshoots.  All choices are
+    sequences.  family="mixed" (default): per-rung choice frozen from the
+    round-1 calibration sweeps — irregular mothers for the low-rate rungs
+    (where degree-2 columns buy threshold: +0.5% QBER at rate 1/2) and
+    regular for the high-rate rungs (where the shallow irregular profile
+    loses: 1.25% vs 1.5% ceiling at rate 0.8).  Either way the residual gap
+    to R closes by puncturing whole columns (capped at ``max_punct_frac`` of
+    n), or by shortening when the mother overshoots.  All choices are
     deterministic from ``seed`` — the ladder is protocol configuration shared
     by both parties.
     """
@@ -446,11 +450,16 @@ def make_rate_ladder(n: int, dv: int = 3,
     # host row degree dc over nb columns).
     divisors = [d for d in range(dv + 1, nb + 1) if (nb * dv) % d == 0]
     rng = np.random.default_rng(seed)
-    for r in target_rates:
+    # family="mixed": measured per-rung winners (round-1 calibration).
+    MIXED = ("irregular", "irregular", "regular", "regular", "regular")
+    for ri, r in enumerate(target_rates):
         # Mother design rate at or just below target.
         cands = [d for d in divisors if 1.0 - dv / d <= r + 1e-9]
         dc = max(cands) if cands else min(divisors)
-        if family == "irregular":
+        fam = family
+        if family == "mixed":
+            fam = MIXED[ri] if ri < len(MIXED) else "regular"
+        if fam == "irregular":
             mb_mother = nb * dv // dc
             code = make_irregular_code(n, irregular_profile(nb, mb_mother),
                                        mb=mb_mother, z=zz, seed=seed + dc)

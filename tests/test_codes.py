@@ -63,6 +63,14 @@ def test_rate_ladder():
         assert step.leaked_bits() == pytest.approx(
             (1 - r) * (code.n - len(step.punct_cols) * code.z
                        - len(step.short_cols) * code.z), abs=1e-6)
-        # Every mother code in the ladder is a valid simple (3, dc) graph.
+        # Every mother code in the ladder is a valid simple graph: column
+        # degrees match the base profile (mixed family: irregular rungs have
+        # degree-2/3/high columns, regular rungs are uniform dv=3).
         h = code.to_dense()
-        assert np.all(h.sum(axis=0) == 3)
+        col_deg = h.sum(axis=0)
+        assert col_deg.min() >= 2 and col_deg.max() <= code.mb
+        base_deg = np.asarray([(code.col_edges[j] >= 0).sum()
+                               for j in range(code.nb)])
+        np.testing.assert_array_equal(
+            col_deg.reshape(code.nb, code.z),
+            np.repeat(base_deg[:, None], code.z, axis=1))

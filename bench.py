@@ -39,7 +39,7 @@ def main() -> None:
 
     if on_tpu:
         from qtpu.ldpc.pallas_bp import make_pallas_decoder
-        dec = make_pallas_decoder(code, max_iters=30)
+        dec = make_pallas_decoder(code, max_iters=30, alg="layered")
     else:
         dec = make_batch_decoder(code, max_iters=30)
 

@@ -86,12 +86,17 @@ def decode(code: QCCode,
       llr: (nb, z) float32 channel LLRs (log P(0)/P(1)), already including any
         puncturing (0) / shortening (±BIG_LLR) priors.
       syndrome: (mb, z) 0/1 target syndrome (Alice's).
-      alg: "minsum" (normalized, factor ``alpha``) or "sumprod".
+      alg: "minsum" (normalized flooding, factor ``alpha``), "sumprod"
+        (flooding), or "layered" (row-layered normalized min-sum — checks
+        update sequentially by base row with immediate posterior updates;
+        converges in roughly half the sweeps of flooding).
       alpha: min-sum normalization; 0.8125 = 13/16 is exactly representable.
 
     Returns hard-decision bits for **all** n variables (incl. punctured and
     shortened positions); the caller extracts payload columns.
     """
+    if alg == "layered":
+        return _decode_layered(code, llr, syndrome, max_iters, alpha)
     llr = np.asarray(llr, dtype=_F32).reshape(code.nb, code.z)
     syn_sign = (_F32(1.0) - _F32(2.0) * np.asarray(syndrome, dtype=_F32)
                 ).reshape(code.mb, code.z)  # ±1, -1 where syndrome bit is 1
@@ -185,3 +190,57 @@ def decode(code: QCCode,
             return DecodeResult(bits=bits, converged=True, iterations=it_used)
 
     return DecodeResult(bits=bits, converged=False, iterations=it_used)
+
+
+def _decode_layered(code: QCCode, llr: np.ndarray, syndrome: np.ndarray,
+                    max_iters: int, alpha: float) -> DecodeResult:
+    """Row-layered normalized min-sum (the golden model for alg="layered").
+
+    Operation-order contract shared with the JAX/Pallas layered decoders:
+    layers sweep base rows in ascending order; within a layer the slot order
+    is `row_edges[i]` order; totals update immediately via delta rolls;
+    the exact syndrome check runs after each full sweep.
+    """
+    llr = np.asarray(llr, dtype=_F32).reshape(code.nb, code.z)
+    syn_target = np.asarray(syndrome, dtype=np.uint8).reshape(code.mb, code.z)
+    syn_sign = (_F32(1.0) - _F32(2.0) * syn_target.astype(_F32))
+    z = code.z
+    alpha = _F32(alpha)
+
+    totals = llr.copy()
+    c2v = np.zeros((code.num_edges, z), dtype=_F32)  # chk-view
+    bits = (totals < 0).astype(np.uint8)
+    if np.array_equal(encode_syndrome(code, bits), syn_target):
+        return DecodeResult(bits=bits, converged=True, iterations=0)
+
+    for it in range(max_iters):
+        for i in range(code.mb):
+            slots = [int(e) for e in code.row_edges[i] if e >= 0]
+            t_chk = [np.roll(totals[int(code.edge_col[e])],
+                             -int(code.edge_shift[e])) for e in slots]
+            msgs = [t_chk[k] - c2v[e] for k, e in enumerate(slots)]
+            signs = [_sign(m) for m in msgs]
+            mags = [np.abs(m) for m in msgs]
+            sign_all = signs[0]
+            for sgn in signs[1:]:
+                sign_all = sign_all * sgn
+            m1 = mags[0]
+            m2 = np.full_like(m1, np.inf)
+            idx1 = np.zeros_like(m1, dtype=np.int32)
+            for k in range(1, len(mags)):
+                is_new_min = mags[k] < m1
+                m2 = np.where(is_new_min, m1, np.minimum(m2, mags[k]))
+                idx1 = np.where(is_new_min, np.int32(k), idx1)
+                m1 = np.where(is_new_min, mags[k], m1)
+            coset = syn_sign[i]
+            for k, e in enumerate(slots):
+                other_min = np.where(idx1 == k, m2, m1)
+                new = (alpha * coset * sign_all * signs[k] * other_min).astype(_F32)
+                delta = new - c2v[e]
+                c2v[e] = new
+                j, s = int(code.edge_col[e]), int(code.edge_shift[e])
+                totals[j] = totals[j] + np.roll(delta, s)
+        bits = (totals < 0).astype(np.uint8)
+        if np.array_equal(encode_syndrome(code, bits), syn_target):
+            return DecodeResult(bits=bits, converged=True, iterations=it + 1)
+    return DecodeResult(bits=bits, converged=False, iterations=max_iters)

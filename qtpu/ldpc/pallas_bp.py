@@ -50,13 +50,19 @@ __all__ = ["make_pallas_decoder"]
 
 def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                         alpha: float = 0.8125, batch_tile: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, alg: str = "minsum"):
     """Build a jitted Pallas decoder ``(llr (B,n) f32, syndrome (B,m)) ->
     BatchDecodeResult``; B must be a multiple of ``batch_tile``.
 
-    Normalized min-sum only (the production algorithm); sum-product stays on
-    the XLA path (qtpu.ldpc.decode) as the accuracy fallback.
+    alg="minsum": flooding normalized min-sum with the syndrome check fused
+    into the update rolls.  alg="layered": row-layered normalized min-sum —
+    immediate posterior updates per base row, ~half the sweeps of flooding
+    (the production schedule).  Both bit-exact vs their golden models;
+    sum-product stays on the XLA path as the accuracy fallback.
     """
+    if alg not in ("minsum", "layered"):
+        raise ValueError(f"pallas decoder supports minsum/layered, got {alg!r}")
+    layered = alg == "layered"
     edge_col = [int(x) for x in code.edge_col]
     edge_shift = [int(x) for x in code.edge_shift]
     row_edges = [[int(e) for e in row if e >= 0] for row in code.row_edges]
@@ -68,6 +74,100 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
 
     def _sign(x):
         return jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
+
+    def _roll(x, shift):
+        # Mosaic rejects the zero-size slice jnp.roll produces for a
+        # no-op shift; circulant shifts CAN be 0 (mod z).
+        if shift % z == 0:
+            return x
+        return jnp.roll(x, shift, axis=0)
+
+    def kernel_layered(llr_ref, syn_ref, bits_ref, iters_ref, conv_ref,
+                       c2v, totals, state):
+        # state rows: 0 = converged flag (1.0/0.0), 1 = sweep count (f32)
+
+        def coset(i):
+            return 1.0 - 2.0 * syn_ref[i].astype(jnp.float32)
+
+        def syndrome_ok():
+            worst = None
+            for i in range(mb):
+                prod = coset(i)
+                for e in row_edges[i]:
+                    t_chk = _roll(totals[edge_col[e]], -edge_shift[e])
+                    prod = prod * _sign(t_chk)
+                row_min = jnp.min(prod, axis=0, keepdims=True)  # (1, bt)
+                worst = row_min if worst is None else jnp.minimum(worst, row_min)
+            return (worst > 0).astype(jnp.float32)
+
+        for e in range(E):
+            c2v[e] = jnp.zeros((z, bt), jnp.float32)
+        for j in range(nb):
+            totals[j] = llr_ref[j]
+            bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
+        state[0:1, :] = syndrome_ok()
+        state[1:2, :] = jnp.zeros((1, bt), jnp.float32)
+
+        def body(carry):
+            it, _ = carry
+            ok_prev = state[0:1, :]
+            # ---- one layered sweep: rows update sequentially with
+            # immediate posterior (totals) updates -------------------------
+            for i in range(mb):
+                slots = row_edges[i]
+                t_chks = [_roll(totals[edge_col[e]], -edge_shift[e])
+                          for e in slots]
+                msgs = [t_chks[k] - c2v[e] for k, e in enumerate(slots)]
+                signs = [_sign(m) for m in msgs]
+                mags = [jnp.abs(m) for m in msgs]
+                sign_all = signs[0]
+                for sgn in signs[1:]:
+                    sign_all = sign_all * sgn
+                m1 = mags[0]
+                m2 = jnp.full_like(m1, jnp.inf)
+                idx1 = jnp.zeros(m1.shape, jnp.int32)
+                for k in range(1, len(mags)):
+                    is_new_min = mags[k] < m1
+                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
+                    idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
+                    m1 = jnp.where(is_new_min, mags[k], m1)
+                cs = coset(i)
+                for k, e in enumerate(slots):
+                    other_min = jnp.where(idx1 == k, m2, m1)
+                    new = alpha_f * cs * sign_all * signs[k] * other_min
+                    delta = new - c2v[e]
+                    c2v[e] = new
+                    j = edge_col[e]
+                    totals[j] = totals[j] + _roll(delta, edge_shift[e])
+
+            # ---- post-sweep convergence, latching ------------------------
+            ok_cur = syndrome_ok()
+            newly = jnp.logical_and(ok_cur > 0, ok_prev <= 0)
+            for j in range(nb):
+                bits_ref[j] = jnp.where(newly, (totals[j] < 0).astype(jnp.int8),
+                                        bits_ref[j])
+            iters = state[1:2, :]
+            state[1:2, :] = jnp.where(ok_prev > 0, iters,
+                                      (it + 1).astype(jnp.float32))
+            ok = jnp.maximum(ok_prev, ok_cur)
+            state[0:1, :] = ok
+            return it + 1, jnp.min(ok) > 0
+
+        def cond(carry):
+            it, done = carry
+            return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                        jnp.min(state[0:1, :]) > 0))
+
+        ok = state[0:1, :] > 0
+        for j in range(nb):
+            bits_ref[j] = jnp.where(ok, bits_ref[j],
+                                    (totals[j] < 0).astype(jnp.int8))
+        iters_ref[...] = jnp.zeros((8, bt), jnp.int32)
+        iters_ref[0:1, :] = state[1:2, :].astype(jnp.int32)
+        conv_ref[...] = jnp.zeros((8, bt), jnp.int32)
+        conv_ref[0:1, :] = (state[0:1, :] > 0).astype(jnp.int32)
 
     def kernel(llr_ref, syn_ref, bits_ref, iters_ref, conv_ref,
                c2v, totals, state):
@@ -101,7 +201,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             worst = None
             for i in range(mb):
                 slots = row_edges[i]
-                t_chks = [jnp.roll(totals[edge_col[e]], -edge_shift[e], axis=0)
+                t_chks = [_roll(totals[edge_col[e]], -edge_shift[e])
                           for e in slots]
                 # Syndrome of the CURRENT totals for this check row (roll
                 # preserves values, so sign(t_chk) is the hard bit).
@@ -151,7 +251,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                 for j in range(nb):
                     t = llr_ref[j]
                     for e in col_edges[j]:
-                        t = t + jnp.roll(c2v[e], edge_shift[e], axis=0)
+                        t = t + _roll(c2v[e], edge_shift[e])
                     totals[j] = t
 
             return it + 1, done
@@ -178,7 +278,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
 
     grid_call = functools.partial(
         pl.pallas_call,
-        kernel,
+        kernel_layered if layered else kernel,
         scratch_shapes=[
             pltpu.VMEM((E, z, bt), jnp.float32),    # c2v
             pltpu.VMEM((nb, z, bt), jnp.float32),   # totals

@@ -105,3 +105,30 @@ def test_shortened_priors_pin_bits(code):
     res = dec(jnp.asarray(llr[None]), jnp.asarray(syn[None]))
     assert np.asarray(res.converged)[0]
     np.testing.assert_array_equal(np.asarray(res.bits)[0], key)
+
+
+def test_layered_bit_exact_vs_golden(code, batch):
+    """Row-layered schedule: bits and sweep counts must match the golden
+    layered model exactly."""
+    keys, _, llr, syn, _ = batch
+    dec = make_batch_decoder(code, max_iters=60, alg="layered")
+    res = dec(jnp.asarray(llr), jnp.asarray(syn))
+    bits = np.asarray(res.bits)
+    iters = np.asarray(res.iterations)
+    assert np.asarray(res.converged).all()
+    for b in range(keys.shape[0]):
+        g = golden.decode(code, llr[b].reshape(code.nb, code.z),
+                          syn[b].reshape(code.mb, code.z), max_iters=60,
+                          alg="layered")
+        np.testing.assert_array_equal(bits[b], g.bits.reshape(-1))
+        assert iters[b] == g.iterations
+        np.testing.assert_array_equal(bits[b], keys[b])
+
+
+def test_layered_converges_faster_than_flooding(code, batch):
+    keys, _, llr, syn, _ = batch
+    fl = make_batch_decoder(code, max_iters=60, alg="minsum")(
+        jnp.asarray(llr), jnp.asarray(syn))
+    la = make_batch_decoder(code, max_iters=60, alg="layered")(
+        jnp.asarray(llr), jnp.asarray(syn))
+    assert np.asarray(la.iterations).mean() < np.asarray(fl.iterations).mean()

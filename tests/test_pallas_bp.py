@@ -63,3 +63,29 @@ def test_batch_must_be_tile_multiple(scenario):
     dec = make_pallas_decoder(code, max_iters=4, batch_tile=16, interpret=True)
     with pytest.raises(AssertionError, match="multiple"):
         dec(llr, syn)  # B=8 not a multiple of 16
+
+
+def test_layered_interpret_bit_exact_vs_xla(scenario):
+    code, keys, llr, syn = scenario
+    xla = make_batch_decoder(code, max_iters=40, alg="layered")(llr, syn)
+    pal = make_pallas_decoder(code, max_iters=40, batch_tile=8,
+                              interpret=True, alg="layered")(llr, syn)
+    np.testing.assert_array_equal(np.asarray(pal.bits), np.asarray(xla.bits))
+    np.testing.assert_array_equal(np.asarray(pal.iterations),
+                                  np.asarray(xla.iterations))
+    np.testing.assert_array_equal(np.asarray(pal.converged),
+                                  np.asarray(xla.converged))
+
+
+@pytest.mark.tpu
+def test_tpu_layered_bit_exact_vs_xla(scenario):
+    code, keys, llr, syn = scenario
+    B, bt = llr.shape[0], 128
+    reps = bt // B
+    llr_t = jnp.tile(llr, (reps, 1))
+    syn_t = jnp.tile(syn, (reps, 1))
+    xla = make_batch_decoder(code, max_iters=40, alg="layered")(llr_t, syn_t)
+    pal = make_pallas_decoder(code, max_iters=40, alg="layered")(llr_t, syn_t)
+    np.testing.assert_array_equal(np.asarray(pal.bits), np.asarray(xla.bits))
+    np.testing.assert_array_equal(np.asarray(pal.iterations),
+                                  np.asarray(xla.iterations))

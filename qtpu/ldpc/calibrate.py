@@ -112,6 +112,10 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     # Mixed = irregular rungs 0-1 + regular rungs 2-4 (per-rung winners).
     (1024, 3, "minsum", "mixed"): (0.07, 0.05, 0.0225, 0.0125, 0.005),
     (4096, 3, "minsum", "mixed"): (0.0775, 0.055, 0.0275, 0.015, 0.0075),
+    # Layered (production schedule): slightly better thresholds than
+    # flooding on top of ~2x fewer sweeps.
+    (1024, 3, "layered", "mixed"): (0.07, 0.05, 0.0225, 0.0125, 0.005),
+    (4096, 3, "layered", "mixed"): (0.08, 0.0575, 0.03, 0.015, 0.0075),
 }
 
 

@@ -64,7 +64,7 @@ class PipelineConfig:
     qber_test_bits: int = 2048       # disclosed per window
     qber_segment_bits: int = 8192    # test bits sampled from this much stream
     max_iters: int = 60
-    alg: str = "minsum"
+    alg: str = "layered"   # row-layered min-sum: best thresholds + speed
     verify_hash_bits: int = 64
     security_margin_bits: int = 64
     efficiency: float = 1.4          # rate-selection efficiency factor f

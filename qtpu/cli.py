@@ -140,6 +140,13 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
             break  # peer closed after its bye — session over
         if msg is None:
             waited += 1
+            # Stalled in-flight windows (lost message / wedged peer): Alice
+            # aborts them after a long quiet spell so the stream cursor can
+            # resync instead of hanging until the hard limit (SURVEY §6.3).
+            if waited == 300 and party == "alice":
+                for w in list(getattr(chain.ec, "_inflight", {})):
+                    dbg("stall -> aborting window", w)
+                    chain.ec.abort_window(w, reason="stall-timeout")
             if party == "alice" and chain.idle() and not sent_bye:
                 dbg("idle -> sending bye")
                 link.send(Abort(window_id=BYE, reason="bye"))

@@ -50,7 +50,8 @@ __all__ = ["make_pallas_decoder"]
 
 def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                         alpha: float = 0.8125, batch_tile: int = 128,
-                        interpret: bool = False, alg: str = "minsum"):
+                        interpret: bool = False, alg: str = "minsum",
+                        dtype=jnp.float32):
     """Build a jitted Pallas decoder ``(llr (B,n) f32, syndrome (B,m)) ->
     BatchDecodeResult``; B must be a multiple of ``batch_tile``.
 
@@ -62,6 +63,10 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
     """
     if alg not in ("minsum", "layered"):
         raise ValueError(f"pallas decoder supports minsum/layered, got {alg!r}")
+    if dtype != jnp.float32:
+        # bf16 messages would double lane width, but Mosaic currently fails
+        # to lower this op mix in bf16 (measured 2026-08-17) — backlog.
+        raise NotImplementedError("only float32 messages are supported")
     layered = alg == "layered"
     edge_col = [int(x) for x in code.edge_col]
     edge_shift = [int(x) for x in code.edge_shift]
@@ -69,11 +74,14 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
     col_edges = [[int(e) for e in col if e >= 0] for col in code.col_edges]
     mb, nb, z, E = code.mb, code.nb, code.z, code.num_edges
     bt = batch_tile
+    cdt = dtype             # compute dtype: f32 (bit-exact vs golden) or
+                            # bf16 (2x lane width; FER-validated, not
+                            # bit-exact — see tests)
     alpha_f = float(alpha)  # python scalar: jnp constants would be captured
                             # closure consts, which pallas_call rejects
 
     def _sign(x):
-        return jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
+        return jnp.where(x < 0, -1.0, 1.0).astype(cdt)
 
     def _roll(x, shift):
         # Mosaic rejects the zero-size slice jnp.roll produces for a
@@ -87,7 +95,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         # state rows: 0 = converged flag (1.0/0.0), 1 = sweep count (f32)
 
         def coset(i):
-            return 1.0 - 2.0 * syn_ref[i].astype(jnp.float32)
+            return (1.0 - 2.0 * syn_ref[i].astype(jnp.float32)).astype(cdt)
 
         def syndrome_ok():
             worst = None
@@ -101,7 +109,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             return (worst > 0).astype(jnp.float32)
 
         for e in range(E):
-            c2v[e] = jnp.zeros((z, bt), jnp.float32)
+            c2v[e] = jnp.zeros((z, bt), cdt)
         for j in range(nb):
             totals[j] = llr_ref[j]
             bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
@@ -176,12 +184,12 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         def coset(i):
             # syn_ref holds 0/1 int8 syndrome bits; coset sign = 1 - 2s.
             # (cast before arithmetic: Mosaic has no int8 multiply)
-            return 1.0 - 2.0 * syn_ref[i].astype(jnp.float32)
+            return (1.0 - 2.0 * syn_ref[i].astype(jnp.float32)).astype(cdt)
 
         # --- init: c2v = 0, totals = llr ---------------------------------
         # (per-slice writes keep Mosaic stack temporaries small)
         for e in range(E):
-            c2v[e] = jnp.zeros((z, bt), jnp.float32)
+            c2v[e] = jnp.zeros((z, bt), cdt)
         for j in range(nb):
             totals[j] = llr_ref[j]
             bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
@@ -280,8 +288,8 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         pl.pallas_call,
         kernel_layered if layered else kernel,
         scratch_shapes=[
-            pltpu.VMEM((E, z, bt), jnp.float32),    # c2v
-            pltpu.VMEM((nb, z, bt), jnp.float32),   # totals
+            pltpu.VMEM((E, z, bt), dtype),          # c2v
+            pltpu.VMEM((nb, z, bt), dtype),         # totals
             pltpu.VMEM((8, bt), jnp.float32),       # state (ok, iters)
         ],
         compiler_params=pltpu.CompilerParams(
@@ -297,7 +305,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         bsz = llr.shape[0]
         assert bsz % bt == 0, f"batch {bsz} not a multiple of tile {bt}"
         num_tiles = bsz // bt
-        llr_i = jnp.transpose(llr.reshape(bsz, nb, z), (1, 2, 0)).astype(jnp.float32)
+        llr_i = jnp.transpose(llr.reshape(bsz, nb, z), (1, 2, 0)).astype(dtype)
         syn_i = jnp.transpose(syndrome.reshape(bsz, mb, z), (1, 2, 0)).astype(jnp.int8)
 
         bits, iters, conv = grid_call(

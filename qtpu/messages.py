@@ -27,7 +27,7 @@ from qtpu.framing import pack_bits, unpack_bits
 
 __all__ = [
     "MsgType", "Message", "QberDisclose", "RateSelect", "Syndromes",
-    "VerifyAck", "Abort", "TimingBasis", "SiftIndex",
+    "VerifyAck", "Abort", "TimingBasis", "SiftIndex", "RetryDisclose",
     "pack_message", "unpack_message",
 ]
 
@@ -43,6 +43,8 @@ class MsgType(IntEnum):
     ABORT = 5           # either → either: tear down the window/session
     TIMING_BASIS = 6    # Alice → Bob: event times + basis (type-2 role)
     SIFT_INDEX = 7      # Bob → Alice: matched-event index (type-4 role)
+    RETRY_DISCLOSE = 8  # Alice → Bob: extra bits for failed blocks (blind-
+                        # reconciliation retry)
 
 
 @dataclasses.dataclass
@@ -126,19 +128,57 @@ class Syndromes(Message):
 
 @dataclasses.dataclass
 class VerifyAck(Message):
-    """Bob's per-block verification results (True = hashes matched)."""
+    """Bob's per-block verification results (True = hashes matched).
+
+    ``round`` distinguishes the initial ack (0) from post-retry acks."""
     num_blocks: int
     ok_mask: np.ndarray  # (B,) uint8
+    round: int = 0
     TYPE: ClassVar[MsgType] = MsgType.VERIFY_ACK
 
     def payload_bytes(self) -> bytes:
-        return struct.pack("<I", self.num_blocks) + pack_bits(self.ok_mask).tobytes()
+        return (struct.pack("<II", self.num_blocks, self.round)
+                + pack_bits(self.ok_mask).tobytes())
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "VerifyAck":
-        (b,) = struct.unpack_from("<I", data)
-        words = np.frombuffer(data[4:], np.uint32)
-        return cls(window_id=window_id, num_blocks=b, ok_mask=unpack_bits(words, b))
+        b, rnd = struct.unpack_from("<II", data)
+        words = np.frombuffer(data[8:], np.uint32)
+        return cls(window_id=window_id, num_blocks=b,
+                   ok_mask=unpack_bits(words, b), round=rnd)
+
+
+@dataclasses.dataclass
+class RetryDisclose(Message):
+    """Blind-reconciliation retry: Alice's payload bits at protocol-PRNG
+    positions for every still-failed block (row per failed block, in
+    block-index order).  Bob pins these (LLR ±inf) and re-decodes."""
+    round: int
+    num_bits: int              # disclosed bits per failed block
+    failed_mask: np.ndarray    # (B,) uint8
+    bits: np.ndarray           # (num_failed, num_bits) uint8
+    TYPE: ClassVar[MsgType] = MsgType.RETRY_DISCLOSE
+
+    def payload_bytes(self) -> bytes:
+        head = struct.pack("<III", self.round, self.num_bits,
+                           len(self.failed_mask))
+        return (head + pack_bits(self.failed_mask).tobytes()
+                + pack_bits(self.bits).tobytes())
+
+    @classmethod
+    def from_payload(cls, window_id: int, data: bytes) -> "RetryDisclose":
+        rnd, k, b = struct.unpack_from("<III", data)
+        off = 12
+        mask_words = (b + 31) // 32
+        mask = unpack_bits(np.frombuffer(data[off:off + 4 * mask_words],
+                                         np.uint32), b)
+        nf = int(mask.sum())
+        row_words = (k + 31) // 32
+        bits = unpack_bits(
+            np.frombuffer(data[off + 4 * mask_words:], np.uint32
+                          ).reshape(nf, row_words), k)
+        return cls(window_id=window_id, round=rnd, num_bits=k,
+                   failed_mask=mask, bits=bits)
 
 
 @dataclasses.dataclass
@@ -199,7 +239,7 @@ class SiftIndex(Message):
 
 _REGISTRY: dict[int, Type[Message]] = {
     int(c.TYPE): c for c in (QberDisclose, RateSelect, Syndromes, VerifyAck,
-                             Abort, TimingBasis, SiftIndex)
+                             Abort, TimingBasis, SiftIndex, RetryDisclose)
 }
 
 

@@ -45,7 +45,7 @@ from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
 from qtpu.ldpc.encode import make_batch_encoder
 from qtpu.link import LoopbackLink
 from qtpu.messages import (Abort, Message, MsgType, QberDisclose, RateSelect,
-                           Syndromes, VerifyAck)
+                           RetryDisclose, Syndromes, VerifyAck)
 
 __all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback"]
 
@@ -67,6 +67,12 @@ class PipelineConfig:
     alg: str = "layered"   # row-layered min-sum: best thresholds + speed
     verify_hash_bits: int = 64
     security_margin_bits: int = 64
+    # Blind-reconciliation retry: blocks that fail verification get
+    # retry_fraction of their payload disclosed (protocol-PRNG positions) and
+    # are re-decoded with those bits pinned, up to max_retries times, before
+    # being discarded.
+    max_retries: int = 1
+    retry_fraction: float = 0.125
     efficiency: float = 1.4          # rate-selection efficiency factor f
                                      # (finite-length regular codes + min-sum)
 
@@ -90,6 +96,7 @@ class WindowMetrics:
     leaked_qber: int
     leaked_hash: int
     final_bits: int
+    blocks_retried: int = 0
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -203,23 +210,55 @@ class _Party:
             self.config.verify_hash_bits, self.config.security_margin_bits)
 
     def _privacy_amplify(self, payload: np.ndarray, ok_mask: np.ndarray,
-                         rate_index: int, window_id: int) -> int:
-        """Hash ok blocks to final keys; returns total final bits."""
-        l_final = self._final_length(rate_index)
-        if l_final == 0:
+                         rate_index: int, window_id: int,
+                         extra_leak: Optional[np.ndarray] = None) -> int:
+        """Hash ok blocks to final keys; returns total final bits.
+
+        extra_leak: (B,) per-block additional disclosed bits (retry rounds);
+        blocks compress to l_final - extra_leak[b].  Blocks sharing a leak
+        value hash as one batched group with its own PA seed.
+        """
+        l_base = self._final_length(rate_index)
+        if l_base == 0:
             return 0
+        B = self.config.blocks_per_window
         p_bits = payload.shape[1]
-        key = prng.derive(self.session, "pa", window_id)
-        t = prng.random_bits(key, (self.config.blocks_per_window,
-                                   p_bits + l_final - 1))
-        fk = np.asarray(pa_mod.toeplitz_hash_fft(t, jnp.asarray(payload), l_final))
+        if extra_leak is None:
+            extra_leak = np.zeros(B, np.int64)
+        fk_by_block: dict[int, np.ndarray] = {}
+        l_by_block: dict[int, int] = {}
+        for extra in sorted(set(int(e) for b, e in enumerate(extra_leak)
+                                if ok_mask[b])):
+            l = max(0, l_base - extra)
+            if l == 0:
+                continue
+            key = prng.derive(self.session, "pa", window_id, extra)
+            t = prng.random_bits(key, (B, p_bits + l - 1))
+            fk = np.asarray(pa_mod.toeplitz_hash_fft(t, jnp.asarray(payload), l))
+            for b in range(B):
+                if ok_mask[b] and int(extra_leak[b]) == extra:
+                    fk_by_block[b] = fk[b]
+                    l_by_block[b] = l
         total = 0
-        for b in range(self.config.blocks_per_window):
-            if ok_mask[b]:
-                self.final_key_words.append(fk[b])
+        for b in range(B):
+            if b in fk_by_block:
+                self.final_key_words.append(fk_by_block[b])
                 self.final_key_index.append((window_id, b))
-                total += l_final
+                total += l_by_block[b]
         return total
+
+    def _retry_bits_per_block(self, rate_index: int) -> int:
+        return max(1, int(self.config.retry_fraction
+                          * self.payload_per_block(rate_index)))
+
+    def _retry_positions(self, window_id: int, round_: int,
+                         rate_index: int) -> np.ndarray:
+        """Payload-position indices disclosed in this retry round (both
+        parties derive the identical set)."""
+        key = prng.derive(self.session, "retry", window_id, round_)
+        return np.asarray(prng.subset_indices(
+            key, self.payload_per_block(rate_index),
+            self._retry_bits_per_block(rate_index)))
 
     # -- stream management ----------------------------------------------
 
@@ -355,11 +394,35 @@ class AliceSession(_Party):
         st = self._inflight.pop(w, None)
         if st is None or st["stage"] != "syndromes_sent":
             return  # duplicate or stale ack
+        rounds = st.setdefault("retries", 0)
+        if msg.round != rounds:
+            self._inflight[w] = st  # replayed ack from an earlier round
+            return
         ok = msg.ok_mask.astype(bool)
         payload = st["payload"]
         r = st["rate_index"]
         p_bits = payload.shape[1]
-        final = self._privacy_amplify(payload, ok, r, w)
+        extra = st.setdefault("extra_leak",
+                              np.zeros(self.config.blocks_per_window, np.int64))
+
+        failed = ~ok
+        if failed.any() and rounds < self.config.max_retries:
+            # Blind-reconciliation retry: disclose retry_fraction of the
+            # payload (protocol-PRNG positions) for every failed block so Bob
+            # can pin those bits and re-decode.  The window stays in flight.
+            k = self._retry_bits_per_block(r)
+            positions = self._retry_positions(w, rounds, r)
+            bits = payload[failed][:, positions]
+            extra[failed] += k
+            self.ledger.add(syndrome_bits=k * int(failed.sum()))
+            st["retries"] = rounds + 1
+            self._inflight[w] = st  # re-insert (popped above)
+            self.link.send(RetryDisclose(
+                window_id=w, round=rounds, num_bits=k,
+                failed_mask=failed.astype(np.uint8), bits=bits))
+            return
+
+        final = self._privacy_amplify(payload, ok, r, w, extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
                         discarded_bits=int((~ok).sum()) * p_bits,
                         final_bits=final, blocks_ok=int(ok.sum()),
@@ -376,10 +439,13 @@ class BobSession(_Party):
         self._inflight: dict[int, dict] = {}
 
     def on_message(self, msg: Message) -> None:
+        from qtpu.messages import RetryDisclose
         if isinstance(msg, QberDisclose):
             self._on_qber(msg)
         elif isinstance(msg, Syndromes):
             self._on_syndromes(msg)
+        elif isinstance(msg, RetryDisclose):
+            self._on_retry(msg)
         elif isinstance(msg, Abort):
             self._on_abort(msg)
         else:
@@ -443,8 +509,78 @@ class BobSession(_Party):
         self.ledger.add(syndrome_bits=step.leaked_bits() * B,
                         verify_hash_bits=self.config.verify_hash_bits * B)
 
+        st.update(stage="decoded", llr=llr, syndromes=msg.syndromes,
+                  expected_hashes=msg.verify_hashes, payload_hat=payload_hat,
+                  ok=ok, iters=iters, round=0,
+                  extra_leak=np.zeros(B, np.int64))
+        if (~ok).any() and self.config.max_retries > 0:
+            # Keep the window in flight awaiting Alice's retry disclosure.
+            self._inflight[w] = st
+            self.link.send(VerifyAck(window_id=w, num_blocks=B,
+                                     ok_mask=ok.astype(np.uint8), round=0))
+            return
+        self._finalize_window(w, st)
+        self.link.send(VerifyAck(window_id=w, num_blocks=B,
+                                 ok_mask=ok.astype(np.uint8), round=0))
+
+    def _on_retry(self, msg) -> None:
+        w = msg.window_id
+        st = self._inflight.pop(w, None)
+        if st is None or st.get("stage") != "decoded" or st["round"] != msg.round:
+            if st is not None:
+                self._inflight[w] = st
+            return  # duplicate / out-of-order retry
+        r = st["rate_index"]
+        pos = self._step_positions[r]
+        B = self.config.blocks_per_window
+        failed = msg.failed_mask.astype(bool)
+        positions = self._retry_positions(w, msg.round, r)
+        assert len(positions) == msg.num_bits
+        var_idx = pos["payload"][positions]
+
+        # Pin the disclosed bits (they are now known exactly) and re-decode.
+        llr = st["llr"]
+        rows = np.flatnonzero(failed)
+        llr[np.repeat(rows, len(var_idx)),
+            np.tile(var_idx, len(rows))] = np.where(
+                msg.bits.astype(bool).reshape(-1), -BIG_LLR, BIG_LLR)
+        res = self._decoder(r)(jnp.asarray(llr), jnp.asarray(st["syndromes"]))
+        bits_hat = np.asarray(res.bits)
+        payload_hat = bits_hat[:, pos["payload"]]
+        hashes = self._verify_hashes(payload_hat, w)
+        ok_new = (np.all(hashes == st["expected_hashes"], axis=1)
+                  & np.asarray(res.converged))
+        # Previously-ok blocks keep their result; failed ones take the retry.
+        ok = st["ok"] | (failed & ok_new)
+        payload_final = np.where(failed[:, None], payload_hat,
+                                 st["payload_hat"])
+        extra = st["extra_leak"]
+        extra[failed] += msg.num_bits
+        self.ledger.add(syndrome_bits=msg.num_bits * int(failed.sum()))
+        st.update(payload_hat=payload_final, ok=ok, round=msg.round + 1,
+                  iters=np.maximum(st["iters"], np.asarray(res.iterations)))
+        if (~ok).any() and st["round"] < self.config.max_retries:
+            self._inflight[w] = st
+            self.link.send(VerifyAck(window_id=w, num_blocks=B,
+                                     ok_mask=ok.astype(np.uint8),
+                                     round=st["round"]))
+            return
+        self._finalize_window(w, st)
+        self.link.send(VerifyAck(window_id=w, num_blocks=B,
+                                 ok_mask=ok.astype(np.uint8),
+                                 round=st["round"]))
+
+    def _finalize_window(self, w: int, st: dict) -> None:
+        r = st["rate_index"]
+        step = self.ladder.steps[r]
+        B = self.config.blocks_per_window
+        ok = st["ok"]
+        payload_hat = st["payload_hat"]
+        iters = st["iters"]
+        q = st["qber"]
+        extra = st["extra_leak"]
         p_bits = payload_hat.shape[1]
-        final = self._privacy_amplify(payload_hat, ok, r, w)
+        final = self._privacy_amplify(payload_hat, ok, r, w, extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
                         discarded_bits=int((~ok).sum()) * p_bits,
                         final_bits=final, blocks_ok=int(ok.sum()),
@@ -457,10 +593,9 @@ class BobSession(_Party):
             leaked_syndrome=step.leaked_bits() * B,
             leaked_qber=self.config.qber_test_bits,
             leaked_hash=self.config.verify_hash_bits * B,
-            final_bits=final))
+            final_bits=final,
+            blocks_retried=int((extra > 0).sum())))
         self.window_id += 1
-        self.link.send(VerifyAck(window_id=w, num_blocks=B,
-                                 ok_mask=ok.astype(np.uint8)))
 
 
 def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,

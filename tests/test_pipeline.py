@@ -90,3 +90,29 @@ def test_leakage_never_exceeds_payload():
     led = a.ledger
     assert led.final_bits > 0
     assert led.final_bits + led.total_leaked <= led.sifted_bits
+
+
+def test_blind_retry_recovers_boundary_blocks():
+    """At a QBER just above the rung-0 comfort zone some blocks fail the
+    first decode; one blind-reconciliation retry (extra disclosed bits,
+    pinned re-decode) must recover blocks, keep keys identical, and charge
+    the extra disclosure to the ledger on both sides."""
+    rng = np.random.default_rng(3)
+    total, q = 30_000, 0.072
+    alice_bits = rng.integers(0, 2, total).astype(np.uint8)
+    bob_bits = alice_bits ^ (rng.random(total) < q).astype(np.uint8)
+
+    a0, b0 = run_loopback(_cfg(max_retries=0), alice_bits, bob_bits)
+    a1, b1 = run_loopback(_cfg(max_retries=1), alice_bits, bob_bits)
+
+    assert b1.ledger.blocks_ok > b0.ledger.blocks_ok, "retry must recover blocks"
+    assert sum(m.blocks_retried for m in b1.metrics) > 0
+    for a, b in ((a0, b0), (a1, b1)):
+        np.testing.assert_array_equal(a.final_key_bits(), b.final_key_bits())
+        assert a.ledger.as_dict() == b.ledger.as_dict()
+        assert a.final_key_index == b.final_key_index
+    # The retry's extra disclosure is charged as reconciliation leakage.
+    assert b1.ledger.syndrome_bits > b0.ledger.syndrome_bits
+    # Retried blocks compress further: per-block final length differs, but
+    # total final bits still beat discarding.
+    assert len(b1.final_key_bits()) > len(b0.final_key_bits())

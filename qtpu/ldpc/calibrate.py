@@ -21,7 +21,8 @@ from qtpu.ldpc.codes import RateLadder, RateStep, make_rate_ladder
 from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
 from qtpu.ldpc.encode import make_batch_encoder
 
-__all__ = ["measure_fer", "calibrate_ladder", "DEFAULT_CALIBRATION"]
+__all__ = ["measure_fer", "calibrate_ladder", "calibrate_short",
+           "SHORT_FRACS", "DEFAULT_CALIBRATION", "DEFAULT_SHORT_CALIBRATION"]
 
 
 def _positions(step: RateStep):
@@ -38,12 +39,17 @@ def _positions(step: RateStep):
 
 def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
                 max_iters: int = 60, alg: str = "minsum",
+                extra_short_bits: int = 0,
                 _cache: dict = {}) -> tuple[float, float]:
     """Simulate `blocks` reconciliations at the given true QBER.
 
     Returns (frame error rate, mean BP iterations).  A frame errs if the
     decoded payload differs from Alice's payload anywhere (verification-hash
     failures in the real pipeline).
+
+    extra_short_bits: payload positions additionally pinned to known values
+    (LLR ±inf) — the fine rate-adaptation mechanism; errors are counted on
+    the remaining (true payload) positions only.
     """
     code = step.code
     ck = (id(step.code), max_iters, alg)
@@ -53,6 +59,12 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
     enc, dec = _cache[ck]
     pay, pun, sho = _positions(step)
     rng = np.random.default_rng(seed)
+    if extra_short_bits:
+        sel = rng.choice(pay.size, size=extra_short_bits, replace=False)
+        mask = np.ones(pay.size, bool)
+        mask[sel] = False
+        xsho, pay = pay[~mask], pay[mask]
+        sho = np.concatenate([sho, xsho])
     B, n = blocks, code.n
     x = rng.integers(0, 2, (B, n)).astype(np.uint8)       # incl punct+short fill
     syn = np.asarray(enc(jnp.asarray(x)))
@@ -94,6 +106,51 @@ def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,
     return tuple(out)
 
 
+SHORT_FRACS = (0.0, 0.05, 0.10, 0.15, 0.20, 0.25)
+
+
+def calibrate_short(ladder: RateLadder, fracs=SHORT_FRACS,
+                    fer_target: float = 0.05, blocks: int = 256,
+                    qber_grid=None, max_iters: int = 60,
+                    alg: str = "minsum", verbose: bool = False
+                    ) -> tuple[tuple[float, ...], tuple[tuple[float, ...], ...]]:
+    """Ceiling-vs-extra-shortening curves for fine rate adaptation.
+
+    For each rung and each extra-shortening fraction (of n), the largest grid
+    QBER with FER <= fer_target.  Returns (fracs, per-rung ceiling tuples) in
+    the ``RateLadder.short_grid/short_ceilings`` format.  Curves are made
+    monotone non-decreasing (shortening only ever strengthens the code;
+    measurement noise is clamped the safe way, downward).
+    """
+    if qber_grid is None:
+        qber_grid = [x / 400 for x in range(1, 61)]  # 0.25% .. 15%
+    n = ladder.steps[0].code.n
+    out = []
+    for step in ladder.steps:
+        curve = []
+        start = 0  # ceilings are monotone: resume the grid walk where the
+        for frac in fracs:   # previous fraction's ceiling stopped
+            s = int(frac * n)
+            best = qber_grid[start - 1] if start else 0.0
+            for gi in range(start, len(qber_grid)):
+                q = qber_grid[gi]
+                fer, _ = measure_fer(step, q, blocks, seed=int(q * 1e6) + s,
+                                     max_iters=max_iters, alg=alg,
+                                     extra_short_bits=s)
+                if fer <= fer_target:
+                    best, start = q, gi + 1
+                else:
+                    break
+            curve.append(best)
+            if verbose:
+                print(f"  {step.name} short={frac:.2f}: ceiling {best:.4f}")
+        # Enforce monotone non-decreasing the safe way.
+        for k in range(1, len(curve)):
+            curve[k] = max(curve[k], curve[k - 1])
+        out.append(tuple(curve))
+    return tuple(fracs), tuple(out)
+
+
 # Measured with blocks=256, fer_target=0.05, max_iters=60, grid step 0.25% —
 # regenerate with `python -m qtpu.ldpc.calibrate`.
 # Key: (n, dv, alg, family) -> per-rung max QBER for the default target_rates.
@@ -118,11 +175,40 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     (4096, 3, "layered", "mixed"): (0.08, 0.0575, 0.03, 0.015, 0.0075),
 }
 
+# Fine rate adaptation: per-rung QBER ceiling at each extra-shortening
+# fraction of n (qtpu.ldpc.codes.RateLadder.select_fine).  Measured with
+# blocks=256, fer_target=0.05 — regenerate with
+# ``python -m qtpu.ldpc.calibrate short:<alg>:<family>``.
+# Key: (n, dv, alg, family) -> (fracs, per-rung ceiling tuples).
+DEFAULT_SHORT_CALIBRATION: dict[
+    tuple[int, int, str, str],
+    tuple[tuple[float, ...], tuple[tuple[float, ...], ...]]] = {
+    # TPU v5 lite run, 2026-08-18.
+    (4096, 3, "layered", "mixed"): (
+        (0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
+        ((0.08, 0.085, 0.0925, 0.10, 0.11, 0.1225),
+         (0.0575, 0.0625, 0.0675, 0.075, 0.085, 0.0925),
+         (0.03, 0.0325, 0.035, 0.0375, 0.0425, 0.0475),
+         (0.015, 0.0175, 0.0175, 0.02, 0.0225, 0.025),
+         (0.0075, 0.0075, 0.01, 0.01, 0.0125, 0.0125))),
+}
+
 
 def main() -> None:
     import sys
     args = sys.argv[1:] or ["minsum:regular"]
     for spec in args:
+        parts = spec.split(":")
+        if parts[0] == "short":
+            alg = parts[1] if len(parts) > 1 else "layered"
+            family = parts[2] if len(parts) > 2 else "mixed"
+            ns = [int(x) for x in parts[3:]] or [4096]
+            for n in ns:
+                ladder = make_rate_ladder(n, family=family, alg=alg)
+                print(f"short-calibration n={n} alg={alg} family={family}:")
+                fracs, curves = calibrate_short(ladder, verbose=True, alg=alg)
+                print(f"  ({n}, 3, {alg!r}, {family!r}): ({fracs}, {curves}),")
+            continue
         alg, _, family = spec.partition(":")
         family = family or "regular"
         for n in (1024, 4096):

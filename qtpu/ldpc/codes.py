@@ -367,12 +367,24 @@ class RateLadder:
     absorbs the gap to capacity of finite-length regular codes under
     normalized min-sum; 1.35-1.5 is realistic for n ~ 4k (f=1.1 was tried
     and produced high frame-error rates).
+
+    Fine-grained adaptation (``select_fine``): on top of the rung grid, a
+    per-window number of *extra shortened bits* (payload positions pinned to
+    shared-PRNG values, LLR ±inf) interpolates the effective rate between
+    rungs, so the code strength tracks the QBER estimate instead of jumping
+    a whole rung (Elkouss-style rate-compatible reconciliation).  Requires
+    the measured ceiling-vs-shortening curves from
+    ``qtpu.ldpc.calibrate.calibrate_short``.
     """
 
     steps: tuple[RateStep, ...]
     # Measured per-rung QBER ceilings (see qtpu.ldpc.calibrate); when present
     # they override the capacity formula — empirical beats analytic here.
     max_qber: Optional[tuple[float, ...]] = None
+    # Fine adaptation: extra-shortening fractions grid (of n) and, per rung,
+    # the measured QBER ceiling at each grid fraction (non-decreasing).
+    short_grid: Optional[tuple[float, ...]] = None
+    short_ceilings: Optional[tuple[tuple[float, ...], ...]] = None
 
     def select(self, qber: float, efficiency: float = 1.4) -> int:
         """Return the index of the chosen step for a given QBER estimate.
@@ -396,6 +408,64 @@ class RateLadder:
 
     def rates(self) -> list[float]:
         return [s.effective_rate() for s in self.steps]
+
+    def _min_short_frac(self, rung: int, qber: float) -> Optional[float]:
+        """Smallest extra-shortening fraction whose interpolated measured
+        ceiling admits ``qber`` on this rung; None if out of reach."""
+        grid, ceils = self.short_grid, self.short_ceilings[rung]
+        if qber <= ceils[0]:
+            return 0.0
+        for k in range(1, len(grid)):
+            if qber <= ceils[k]:
+                c0, c1 = ceils[k - 1], ceils[k]
+                if c1 <= c0:  # flat/non-monotonic segment: take the safe end
+                    return grid[k]
+                t = (qber - c0) / (c1 - c0)
+                return grid[k - 1] + t * (grid[k] - grid[k - 1])
+        return None
+
+    def select_fine(self, qber: float, granularity: int = 32,
+                    efficiency: float = 1.4,
+                    overhead_bits: int = 0,
+                    guard: float = 0.0025) -> tuple[int, int]:
+        """Pick (rung, extra shortened bits per block) maximizing net key.
+
+        For each rung, the minimal extra shortening that lifts its measured
+        QBER ceiling to the estimate is interpolated from the calibration
+        curve; the rung with the lowest resulting (leak + fixed overhead) per
+        payload bit wins — ``overhead_bits`` carries the per-block fixed
+        costs (verification hash, security margin, amortized QBER test bits)
+        so heavy shortening is only chosen when it pays *net*.
+        ``granularity`` rounds the shortening up (safe direction) to keep the
+        choice space small.  ``guard`` inflates the estimate by one
+        calibration-grid step — the measured ceilings are FER thresholds read
+        off a 0.25%-QBER grid with finite blocks, so interpolating a flat
+        noisy segment (the high-rate rungs) can otherwise land past the true
+        ceiling.  Falls back to (coarse select, 0) when the ladder has no
+        shortening calibration.
+        """
+        if self.short_grid is None or self.short_ceilings is None:
+            return self.select(qber, efficiency), 0
+        qber = qber + guard
+        n = self.steps[0].code.n
+        best: Optional[tuple[float, int, int]] = None
+        for idx, step in enumerate(self.steps):
+            frac = self._min_short_frac(idx, qber)
+            if frac is None:
+                continue
+            s = int(-(-frac * n // granularity) * granularity)
+            payload = step.payload_bits() - s
+            if payload <= 0:
+                continue
+            ratio = (step.leaked_bits() + overhead_bits) / payload
+            if best is None or ratio < best[0] - 1e-12:
+                best = (ratio, idx, s)
+        if best is None:
+            # Beyond every calibrated curve: strongest rung, maximal grid
+            # shortening — callers should expect failures/aborts out here.
+            s = int(self.short_grid[-1] * n)
+            return 0, s
+        return best[1], best[2]
 
 
 def _h2(p: float) -> float:
@@ -485,8 +555,14 @@ def make_rate_ladder(n: int, dv: int = 3,
                                   short_cols=tuple(int(c) for c in col_order[:s_cols])))
     # Attach measured QBER ceilings when this configuration has been
     # calibrated (qtpu.ldpc.calibrate).
-    from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION  # local import: no cycle at module load
+    from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
+                                     DEFAULT_SHORT_CALIBRATION)
     max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
     if max_qber is not None and len(max_qber) != len(steps):
         max_qber = None
-    return RateLadder(steps=tuple(steps), max_qber=max_qber)
+    short_grid = short_ceilings = None
+    short_cal = DEFAULT_SHORT_CALIBRATION.get((n, dv, alg, family))
+    if short_cal is not None and len(short_cal[1]) == len(steps):
+        short_grid, short_ceilings = short_cal
+    return RateLadder(steps=tuple(steps), max_qber=max_qber,
+                      short_grid=short_grid, short_ceilings=short_ceilings)

@@ -80,18 +80,25 @@ class QberDisclose(Message):
 
 @dataclasses.dataclass
 class RateSelect(Message):
-    """Bob's QBER estimate and the ladder rung he wants Alice to encode at."""
+    """Bob's QBER estimate and the ladder rung he wants Alice to encode at.
+
+    ``short_bits``: extra payload positions per block to shorten (pin to
+    shared-PRNG values) — the fine rate-adaptation knob interpolating the
+    effective rate between ladder rungs."""
     qber_milli: int     # QBER in 1/1000 units (wire-friendly)
     rate_index: int
+    short_bits: int = 0
     TYPE: ClassVar[MsgType] = MsgType.RATE_SELECT
 
     def payload_bytes(self) -> bytes:
-        return struct.pack("<II", self.qber_milli, self.rate_index)
+        return struct.pack("<III", self.qber_milli, self.rate_index,
+                           self.short_bits)
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "RateSelect":
-        q, r = struct.unpack_from("<II", data)
-        return cls(window_id=window_id, qber_milli=q, rate_index=r)
+        q, r, s = struct.unpack_from("<III", data)
+        return cls(window_id=window_id, qber_milli=q, rate_index=r,
+                   short_bits=s)
 
 
 @dataclasses.dataclass
@@ -104,26 +111,27 @@ class Syndromes(Message):
     syndrome_bits: int            # m per block
     syndromes: np.ndarray         # (B, m) uint8
     verify_hashes: np.ndarray     # (B, 64) uint8
+    short_bits: int = 0           # echo of RateSelect.short_bits (idempotence)
     TYPE: ClassVar[MsgType] = MsgType.SYNDROMES
 
     def payload_bytes(self) -> bytes:
         syn_words = pack_bits(self.syndromes)      # (B, ceil(m/32))
         hash_words = pack_bits(self.verify_hashes)  # (B, 2)
-        head = struct.pack("<III", self.rate_index, self.num_blocks,
-                           self.syndrome_bits)
+        head = struct.pack("<IIII", self.rate_index, self.num_blocks,
+                           self.syndrome_bits, self.short_bits)
         return head + syn_words.tobytes() + hash_words.tobytes()
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "Syndromes":
-        r, b, m = struct.unpack_from("<III", data)
-        off = 12
+        r, b, m, s = struct.unpack_from("<IIII", data)
+        off = 16
         syn_w = (m + 31) // 32
         syn_bytes = b * syn_w * 4
         syn_words = np.frombuffer(data[off:off + syn_bytes], np.uint32).reshape(b, syn_w)
         hash_words = np.frombuffer(data[off + syn_bytes:], np.uint32).reshape(b, 2)
         return cls(window_id=window_id, rate_index=r, num_blocks=b,
                    syndrome_bits=m, syndromes=unpack_bits(syn_words, m),
-                   verify_hashes=unpack_bits(hash_words, 64))
+                   verify_hashes=unpack_bits(hash_words, 64), short_bits=s)
 
 
 @dataclasses.dataclass

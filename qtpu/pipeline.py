@@ -75,6 +75,11 @@ class PipelineConfig:
     retry_fraction: float = 0.125
     efficiency: float = 1.4          # rate-selection efficiency factor f
                                      # (finite-length regular codes + min-sum)
+    # Fine rate adaptation: per-window extra shortening interpolates the
+    # effective rate between ladder rungs (needs the measured
+    # ceiling-vs-shortening curves; silently coarse-selects without them).
+    fine_rate_adaptation: bool = True
+    short_granularity: int = 32      # extra-short bits round up to this
 
 
 @dataclasses.dataclass
@@ -97,6 +102,7 @@ class WindowMetrics:
     leaked_hash: int
     final_bits: int
     blocks_retried: int = 0
+    extra_short_bits: int = 0   # fine rate adaptation, per block
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -162,27 +168,47 @@ class _Party:
     def payload_per_block(self, rate_index: int) -> int:
         return int(self._step_positions[rate_index]["payload"].size)
 
-    def window_payload_bits(self, rate_index: int) -> int:
-        return self.payload_per_block(rate_index) * self.config.blocks_per_window
+    def window_payload_bits(self, rate_index: int, short_bits: int = 0) -> int:
+        return ((self.payload_per_block(rate_index) - short_bits)
+                * self.config.blocks_per_window)
 
-    def _shared_short_bits(self, window_id: int, count: int) -> np.ndarray:
-        """Shortened-column fill known to both parties."""
+    def _window_positions(self, rate_index: int, window_id: int,
+                          short_bits: int) -> dict:
+        """Per-window variable-position sets; fine rate adaptation moves
+        ``short_bits`` protocol-PRNG-chosen payload positions into an extra
+        shortened set ("xshort") pinned to shared-PRNG values."""
+        base = self._step_positions[rate_index]
+        if short_bits == 0:
+            return {**base, "xshort": np.zeros(0, np.int64)}
+        key = prng.derive(self.session, "xshort", window_id, rate_index)
+        sel = np.asarray(prng.subset_indices(key, base["payload"].size,
+                                             short_bits))
+        mask = np.ones(base["payload"].size, bool)
+        mask[sel] = False
+        return {"payload": base["payload"][mask], "punct": base["punct"],
+                "short": base["short"], "xshort": base["payload"][~mask]}
+
+    def _shared_short_bits(self, window_id: int, count: int,
+                           purpose: str = "short") -> np.ndarray:
+        """Shortened-position fill known to both parties."""
         if count == 0:
             return np.zeros((self.config.blocks_per_window, 0), np.uint8)
-        key = prng.derive(self.session, "short", window_id)
+        key = prng.derive(self.session, purpose, window_id)
         return np.asarray(prng.random_bits(
             key, (self.config.blocks_per_window, count)))
 
-    def _frame_full_blocks(self, payload: np.ndarray, rate_index: int,
+    def _frame_full_blocks(self, payload: np.ndarray, pos: dict,
                            window_id: int,
                            punct_fill: Optional[np.ndarray]) -> np.ndarray:
         """Assemble (B, n) full codewords from (B, P) payload bits."""
-        pos = self._step_positions[rate_index]
         B, n = self.config.blocks_per_window, self.config.n
         x = np.zeros((B, n), np.uint8)
         x[:, pos["payload"]] = payload
         if pos["short"].size:
             x[:, pos["short"]] = self._shared_short_bits(window_id, pos["short"].size)
+        if pos["xshort"].size:
+            x[:, pos["xshort"]] = self._shared_short_bits(
+                window_id, pos["xshort"].size, purpose="xshort-fill")
         if pos["punct"].size:
             assert punct_fill is not None
             x[:, pos["punct"]] = punct_fill
@@ -201,9 +227,8 @@ class _Party:
         return np.asarray(pa_mod.toeplitz_hash_fft(
             t, jnp.asarray(payload), self.config.verify_hash_bits))
 
-    def _final_length(self, rate_index: int) -> int:
+    def _final_length(self, rate_index: int, p_bits: int) -> int:
         step = self.ladder.steps[rate_index]
-        p_bits = self.payload_per_block(rate_index)
         qber_amort = -(-self.config.qber_test_bits // self.config.blocks_per_window)
         return pa_mod.final_key_length(
             p_bits, step.leaked_bits(), qber_amort,
@@ -218,11 +243,11 @@ class _Party:
         blocks compress to l_final - extra_leak[b].  Blocks sharing a leak
         value hash as one batched group with its own PA seed.
         """
-        l_base = self._final_length(rate_index)
-        if l_base == 0:
-            return 0
         B = self.config.blocks_per_window
         p_bits = payload.shape[1]
+        l_base = self._final_length(rate_index, p_bits)
+        if l_base == 0:
+            return 0
         if extra_leak is None:
             extra_leak = np.zeros(B, np.int64)
         fk_by_block: dict[int, np.ndarray] = {}
@@ -247,18 +272,17 @@ class _Party:
                 total += l_by_block[b]
         return total
 
-    def _retry_bits_per_block(self, rate_index: int) -> int:
-        return max(1, int(self.config.retry_fraction
-                          * self.payload_per_block(rate_index)))
+    def _retry_bits_per_block(self, p_bits: int) -> int:
+        return max(1, int(self.config.retry_fraction * p_bits))
 
     def _retry_positions(self, window_id: int, round_: int,
-                         rate_index: int) -> np.ndarray:
+                         p_bits: int) -> np.ndarray:
         """Payload-position indices disclosed in this retry round (both
-        parties derive the identical set)."""
+        parties derive the identical set; p_bits is the window's actual
+        per-block payload size after fine shortening)."""
         key = prng.derive(self.session, "retry", window_id, round_)
         return np.asarray(prng.subset_indices(
-            key, self.payload_per_block(rate_index),
-            self._retry_bits_per_block(rate_index)))
+            key, p_bits, self._retry_bits_per_block(p_bits)))
 
     # -- stream management ----------------------------------------------
 
@@ -373,13 +397,14 @@ class AliceSession(_Party):
         if st is None or st["stage"] != "qber_sent":
             return  # duplicate or stale — at-least-once tolerance
         r = msg.rate_index
+        s = msg.short_bits
         step = self.ladder.steps[r]
-        pos = self._step_positions[r]
+        pos = self._window_positions(r, w, s)
         B = self.config.blocks_per_window
-        payload = self._take(self.window_payload_bits(r)).reshape(B, -1)
+        payload = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
         punct = (self._private.integers(0, 2, (B, pos["punct"].size))
                  .astype(np.uint8) if pos["punct"].size else None)
-        x = self._frame_full_blocks(payload, r, w, punct)
+        x = self._frame_full_blocks(payload, pos, w, punct)
         syn = np.asarray(self._encoder(r)(jnp.asarray(x)))
         hashes = self._verify_hashes(payload, w)
         self.ledger.add(syndrome_bits=step.leaked_bits() * B,
@@ -387,7 +412,8 @@ class AliceSession(_Party):
         st.update(stage="syndromes_sent", rate_index=r, payload=payload)
         self.link.send(Syndromes(
             window_id=w, rate_index=r, num_blocks=B,
-            syndrome_bits=step.code.m, syndromes=syn, verify_hashes=hashes))
+            syndrome_bits=step.code.m, syndromes=syn, verify_hashes=hashes,
+            short_bits=s))
 
     def _on_verify_ack(self, msg: VerifyAck) -> None:
         w = msg.window_id
@@ -410,8 +436,8 @@ class AliceSession(_Party):
             # Blind-reconciliation retry: disclose retry_fraction of the
             # payload (protocol-PRNG positions) for every failed block so Bob
             # can pin those bits and re-decode.  The window stays in flight.
-            k = self._retry_bits_per_block(r)
-            positions = self._retry_positions(w, rounds, r)
+            k = self._retry_bits_per_block(p_bits)
+            positions = self._retry_positions(w, rounds, p_bits)
             bits = payload[failed][:, positions]
             extra[failed] += k
             self.ledger.add(syndrome_bits=k * int(failed.sum()))
@@ -474,10 +500,20 @@ class BobSession(_Party):
         # Select against the upper confidence bound: a 2-sigma underestimate
         # of the true QBER must not push us past a rung's measured ceiling.
         q_ucb = q + 2.0 * float(np.sqrt(q * (1 - q) / max(1, len(mine))))
-        r = self.ladder.select(q_ucb, self.config.efficiency)
-        self._inflight[w] = {"stage": "rate_sent", "qber": q, "rate_index": r}
+        if self.config.fine_rate_adaptation:
+            overhead = (self.config.verify_hash_bits
+                        + self.config.security_margin_bits
+                        + -(-self.config.qber_test_bits
+                            // self.config.blocks_per_window))
+            r, s = self.ladder.select_fine(
+                q_ucb, granularity=self.config.short_granularity,
+                efficiency=self.config.efficiency, overhead_bits=overhead)
+        else:
+            r, s = self.ladder.select(q_ucb, self.config.efficiency), 0
+        self._inflight[w] = {"stage": "rate_sent", "qber": q, "rate_index": r,
+                             "short_bits": s}
         self.link.send(RateSelect(window_id=w, qber_milli=int(round(q * 1000)),
-                                  rate_index=r))
+                                  rate_index=r, short_bits=s))
 
     def _on_syndromes(self, msg: Syndromes) -> None:
         w = msg.window_id
@@ -485,12 +521,13 @@ class BobSession(_Party):
         if st is None or st["stage"] != "rate_sent":
             return  # duplicate or aborted window
         assert st["rate_index"] == msg.rate_index
-        r, q = msg.rate_index, st["qber"]
+        assert st["short_bits"] == msg.short_bits
+        r, q, s = msg.rate_index, st["qber"], msg.short_bits
         step = self.ladder.steps[r]
         assert msg.syndrome_bits == step.code.m
-        pos = self._step_positions[r]
+        pos = self._window_positions(r, w, s)
         B, n = self.config.blocks_per_window, self.config.n
-        payload = self._take(self.window_payload_bits(r)).reshape(B, -1)
+        payload = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
 
         # Assemble LLRs: payload from channel, shortened pinned, punctured 0.
         mag = np.float32(np.log((1.0 - q) / q))
@@ -499,6 +536,10 @@ class BobSession(_Party):
         if pos["short"].size:
             sbits = self._shared_short_bits(w, pos["short"].size)
             llr[:, pos["short"]] = np.where(sbits.astype(bool), -BIG_LLR, BIG_LLR)
+        if pos["xshort"].size:
+            xbits = self._shared_short_bits(w, pos["xshort"].size,
+                                            purpose="xshort-fill")
+            llr[:, pos["xshort"]] = np.where(xbits.astype(bool), -BIG_LLR, BIG_LLR)
         res = self._decoder(r)(jnp.asarray(llr), jnp.asarray(msg.syndromes))
         bits_hat = np.asarray(res.bits)
         iters = np.asarray(res.iterations)
@@ -511,7 +552,7 @@ class BobSession(_Party):
 
         st.update(stage="decoded", llr=llr, syndromes=msg.syndromes,
                   expected_hashes=msg.verify_hashes, payload_hat=payload_hat,
-                  ok=ok, iters=iters, round=0,
+                  ok=ok, iters=iters, round=0, positions=pos,
                   extra_leak=np.zeros(B, np.int64))
         if (~ok).any() and self.config.max_retries > 0:
             # Keep the window in flight awaiting Alice's retry disclosure.
@@ -531,10 +572,11 @@ class BobSession(_Party):
                 self._inflight[w] = st
             return  # duplicate / out-of-order retry
         r = st["rate_index"]
-        pos = self._step_positions[r]
+        pos = st["positions"]
         B = self.config.blocks_per_window
         failed = msg.failed_mask.astype(bool)
-        positions = self._retry_positions(w, msg.round, r)
+        p_bits = st["payload_hat"].shape[1]
+        positions = self._retry_positions(w, msg.round, p_bits)
         assert len(positions) == msg.num_bits
         var_idx = pos["payload"][positions]
 
@@ -587,14 +629,15 @@ class BobSession(_Party):
                         blocks_failed=int((~ok).sum()))
         self.metrics.append(WindowMetrics(
             window_id=w, qber_est=float(q), rate_index=r,
-            rate_eff=step.effective_rate(), blocks=B,
+            rate_eff=1.0 - step.leaked_bits() / p_bits, blocks=B,
             blocks_ok=int(ok.sum()), iters_mean=float(iters.mean()),
             iters_max=int(iters.max()), payload_bits=p_bits * B,
             leaked_syndrome=step.leaked_bits() * B,
             leaked_qber=self.config.qber_test_bits,
             leaked_hash=self.config.verify_hash_bits * B,
             final_bits=final,
-            blocks_retried=int((extra > 0).sum())))
+            blocks_retried=int((extra > 0).sum()),
+            extra_short_bits=int(st.get("short_bits", 0))))
         self.window_id += 1
 
 

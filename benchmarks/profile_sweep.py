@@ -7,8 +7,11 @@ min-sum decoder.  Informs the default ladder families (qtpu.ldpc.codes).
 Usage: python benchmarks/profile_sweep.py [rate ...]   (default 0.5 0.7)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

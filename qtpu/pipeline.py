@@ -80,6 +80,13 @@ class PipelineConfig:
     # ceiling-vs-shortening curves; silently coarse-selects without them).
     fine_rate_adaptation: bool = True
     short_granularity: int = 32      # extra-short bits round up to this
+    # Post-decode QBER tracking: every verified block reveals its exact
+    # error count to Bob for free (corrected vs received payload); a
+    # decaying prior from these tightens the next window's estimate and its
+    # confidence bound, cutting both test-bit disclosure needs and the
+    # shortening safety margin.  halflife is in windows; 0 disables.
+    qber_prior_halflife: float = 4.0
+    qber_prior_max_n: int = 65536    # cap on the prior's effective sample size
 
 
 @dataclasses.dataclass
@@ -463,6 +470,19 @@ class BobSession(_Party):
         super().__init__(config, session_seed)
         self.link = link
         self._inflight: dict[int, dict] = {}
+        # Post-decode QBER prior (Bob-internal; no wire or ledger impact).
+        self._prior_errs = 0.0
+        self._prior_n = 0.0
+
+    def checkpoint_state(self) -> dict:
+        state = super().checkpoint_state()
+        state["qber_prior"] = [self._prior_errs, self._prior_n]
+        return state
+
+    def restore_state(self, state: dict) -> None:
+        super().restore_state(state)
+        # Missing on old checkpoints / Alice-side states: cold prior re-warms.
+        self._prior_errs, self._prior_n = state.get("qber_prior", [0.0, 0.0])
 
     def on_message(self, msg: Message) -> None:
         from qtpu.messages import RetryDisclose
@@ -496,10 +516,13 @@ class BobSession(_Party):
         self.buffer = np.concatenate([keep, self.buffer])
         self.ledger.add(qber_test_bits=len(mine))
         mism = int((mine ^ msg.bits).sum())
-        q = (mism + 0.5) / (len(mine) + 1.0)
+        # Combine the disclosed test bits with the post-decode prior (exact
+        # error counts of previously verified blocks, decayed for drift).
+        q = (mism + self._prior_errs + 0.5) / (len(mine) + self._prior_n + 1.0)
+        n_eff = len(mine) + self._prior_n
         # Select against the upper confidence bound: a 2-sigma underestimate
         # of the true QBER must not push us past a rung's measured ceiling.
-        q_ucb = q + 2.0 * float(np.sqrt(q * (1 - q) / max(1, len(mine))))
+        q_ucb = q + 2.0 * float(np.sqrt(q * (1 - q) / max(1.0, n_eff)))
         if self.config.fine_rate_adaptation:
             overhead = (self.config.verify_hash_bits
                         + self.config.security_margin_bits
@@ -553,7 +576,7 @@ class BobSession(_Party):
         st.update(stage="decoded", llr=llr, syndromes=msg.syndromes,
                   expected_hashes=msg.verify_hashes, payload_hat=payload_hat,
                   ok=ok, iters=iters, round=0, positions=pos,
-                  extra_leak=np.zeros(B, np.int64))
+                  payload_rx=payload, extra_leak=np.zeros(B, np.int64))
         if (~ok).any() and self.config.max_retries > 0:
             # Keep the window in flight awaiting Alice's retry disclosure.
             self._inflight[w] = st
@@ -612,12 +635,33 @@ class BobSession(_Party):
                                  ok_mask=ok.astype(np.uint8),
                                  round=st["round"]))
 
+    def _update_qber_prior(self, st: dict) -> None:
+        """Fold the exact error counts of this window's verified blocks into
+        the decaying QBER prior (free information: corrected vs received)."""
+        hl = self.config.qber_prior_halflife
+        if hl <= 0:
+            return
+        ok = st["ok"]
+        if not ok.any():
+            return
+        diff = st["payload_hat"][ok] != st["payload_rx"][ok]
+        errs, bits = float(diff.sum()), float(diff.size)
+        decay = 0.5 ** (1.0 / hl)
+        self._prior_errs = self._prior_errs * decay + errs
+        self._prior_n = self._prior_n * decay + bits
+        cap = float(self.config.qber_prior_max_n)
+        if self._prior_n > cap:
+            scale = cap / self._prior_n
+            self._prior_errs *= scale
+            self._prior_n = cap
+
     def _finalize_window(self, w: int, st: dict) -> None:
         r = st["rate_index"]
         step = self.ladder.steps[r]
         B = self.config.blocks_per_window
         ok = st["ok"]
         payload_hat = st["payload_hat"]
+        self._update_qber_prior(st)
         iters = st["iters"]
         q = st["qber"]
         extra = st["extra_leak"]

@@ -119,3 +119,35 @@ def test_loopback_with_fine_shortening():
             step = b.ladder.steps[m.rate_index]
             per_block = m.payload_bits // m.blocks
             assert per_block == step.payload_bits() - m.extra_short_bits
+
+
+def test_post_decode_qber_prior_tightens():
+    """Verified blocks feed Bob's decaying QBER prior; the prior's effective
+    sample size must grow across windows and the combined estimate must home
+    in on the true channel QBER (it starts from 512 test bits only)."""
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
+                         qber_segment_bits=2048)
+    rng = np.random.default_rng(3)
+    q = 0.03
+    N = 60_000
+    a_bits = rng.integers(0, 2, N).astype(np.uint8)
+    b_bits = a_bits ^ (rng.random(N) < q).astype(np.uint8)
+    a, b = run_loopback(cfg, a_bits, b_bits)
+    assert len(b.metrics) >= 3
+    assert b._prior_n > 1000, "prior never accumulated"
+    # Later windows' combined estimate uses thousands of exact error counts:
+    # it must sit within 1% absolute of the true QBER.
+    late = [m.qber_est for m in b.metrics[2:]]
+    assert all(abs(x - q) < 0.01 for x in late), late
+    np.testing.assert_array_equal(a.final_key_bits(), b.final_key_bits())
+
+
+def test_qber_prior_disabled():
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
+                         qber_segment_bits=2048, qber_prior_halflife=0.0)
+    rng = np.random.default_rng(4)
+    a_bits = rng.integers(0, 2, 30_000).astype(np.uint8)
+    b_bits = a_bits ^ (rng.random(30_000) < 0.02).astype(np.uint8)
+    a, b = run_loopback(cfg, a_bits, b_bits)
+    assert b._prior_n == 0.0
+    np.testing.assert_array_equal(a.final_key_bits(), b.final_key_bits())

@@ -173,6 +173,10 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     # flooding on top of ~2x fewer sweeps.
     (1024, 3, "layered", "mixed"): (0.07, 0.05, 0.0225, 0.0125, 0.005),
     (4096, 3, "layered", "mixed"): (0.08, 0.0575, 0.03, 0.015, 0.0075),
+    # n=16384: ~+0.25% per rung over n=4096 (finite-length gain).
+    (16384, 3, "layered", "mixed"): (0.0825, 0.06, 0.0325, 0.0175, 0.01),
+    (16384, 3, "layered", "irregular"): (0.0825, 0.06, 0.03, 0.015, 0.01),
+    (16384, 3, "layered", "regular"): (0.075, 0.055, 0.0325, 0.0175, 0.01),
 }
 
 # Fine rate adaptation: per-rung QBER ceiling at each extra-shortening
@@ -209,10 +213,12 @@ def main() -> None:
                 fracs, curves = calibrate_short(ladder, verbose=True, alg=alg)
                 print(f"  ({n}, 3, {alg!r}, {family!r}): ({fracs}, {curves}),")
             continue
-        alg, _, family = spec.partition(":")
-        family = family or "regular"
-        for n in (1024, 4096):
-            ladder = make_rate_ladder(n, family=family)
+        parts = spec.split(":")
+        alg = parts[0]
+        family = parts[1] if len(parts) > 1 else "regular"
+        ns = [int(x) for x in parts[2:]] or [1024, 4096]
+        for n in ns:
+            ladder = make_rate_ladder(n, family=family, alg=alg)
             print(f"n={n} alg={alg} family={family}:")
             ceilings = calibrate_ladder(ladder, verbose=True, alg=alg)
             print(f"  ({n}, 3, {alg!r}, {family!r}): {ceilings},")

@@ -509,11 +509,46 @@ def make_rate_ladder(n: int, dv: int = 3,
     regular for the high-rate rungs (where the shallow irregular profile
     loses: 1.25% vs 1.5% ceiling at rate 0.8).  Either way the residual gap
     to R closes by puncturing whole columns (capped at ``max_punct_frac`` of
-    n), or by shortening when the mother overshoots.  All choices are
-    deterministic from ``seed`` — the ladder is protocol configuration shared
-    by both parties.
+    n), or by shortening when the mother overshoots.
+
+    family="native": one irregular mother at EVERY rung with mb chosen so the
+    design rate lands on the target directly — no puncturing at all.
+    Irregular construction has no divisibility constraint on mb (unlike
+    regular dc | nb*dv), and the profile sweeps showed puncturing costs real
+    threshold: a native rate-0.69 irregular mother reaches 3.75% QBER at
+    n=16384 where the punctured rate-0.625 regular mother stops at 3.25%.
+    Targets are snapped to the nearest mb/nb grid point (nb=32 when n allows,
+    giving 1/32-rate granularity); fine shortening interpolates between.
+
+    All choices are deterministic from ``seed`` — the ladder is protocol
+    configuration shared by both parties.
     """
     steps = []
+    if family == "native":
+        nb_native = 32 if n % 32 == 0 and n // 32 >= 64 else 16
+        zz = n // nb_native
+        seen_mb = set()
+        for r in target_rates:
+            mb_mother = max(2, int(round(nb_native * (1.0 - r))))
+            while mb_mother in seen_mb:  # distinct rungs only
+                mb_mother -= 1
+            seen_mb.add(mb_mother)
+            code = make_irregular_code(
+                n, irregular_profile(nb_native, mb_mother), mb=mb_mother,
+                z=zz, seed=seed + mb_mother)
+            steps.append(RateStep(name=f"r{code.rate:.3f}", code=code,
+                                  punct_cols=(), short_cols=()))
+        from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
+                                         DEFAULT_SHORT_CALIBRATION)
+        max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
+        if max_qber is not None and len(max_qber) != len(steps):
+            max_qber = None
+        short_grid = short_ceilings = None
+        short_cal = DEFAULT_SHORT_CALIBRATION.get((n, dv, alg, family))
+        if short_cal is not None and len(short_cal[1]) == len(steps):
+            short_grid, short_ceilings = short_cal
+        return RateLadder(steps=tuple(steps), max_qber=max_qber,
+                          short_grid=short_grid, short_ceilings=short_ceilings)
     probe = make_regular_code(n, dv, 2 * dv, z=z, seed=seed)  # fixes nb, z
     nb, zz = probe.nb, probe.z
     # dc must divide nb*dv and stay <= nb (else a simple base graph can't

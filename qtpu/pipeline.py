@@ -59,7 +59,10 @@ class PipelineConfig:
     dv: int = 3
     dc: int = 6
     code_seed: int = 0x51C0DE
-    target_rates: tuple = (0.5, 0.6, 0.7, 0.8, 0.9)
+    family: str = "mixed"   # mother-code family per rung (see make_rate_ladder)
+    # Must match the calibrated ladder (DEFAULT_CALIBRATION keys assume the
+    # make_rate_ladder default target rates).
+    target_rates: tuple = (0.5, 0.6, 0.7, 0.8, 0.875)
     blocks_per_window: int = 16
     qber_test_bits: int = 2048       # disclosed per window
     qber_segment_bits: int = 8192    # test bits sampled from this much stream
@@ -122,7 +125,7 @@ class _Party:
         self.config = config
         self.ladder: RateLadder = make_rate_ladder(
             config.n, config.dv, config.target_rates, seed=config.code_seed,
-            alg=config.alg)
+            alg=config.alg, family=config.family)
         self.session = prng.root_key(session_seed)
         self.ledger = Ledger()
         self.buffer = np.zeros(0, np.uint8)   # sifted-bit stream buffer

@@ -74,3 +74,23 @@ def test_rate_ladder():
         np.testing.assert_array_equal(
             col_deg.reshape(code.nb, code.z),
             np.repeat(base_deg[:, None], code.z, axis=1))
+
+
+def test_native_family_ladder():
+    """family="native": one native-rate irregular mother per rung, no
+    puncturing (profile sweeps: puncturing costs ~0.5% QBER threshold)."""
+    from qtpu.ldpc.codes import make_rate_ladder
+    lad = make_rate_ladder(4096, family="native", alg="layered")
+    rates = []
+    for step in lad.steps:
+        assert step.punct_cols == () and step.short_cols == ()
+        step.code.validate()
+        rates.append(step.effective_rate())
+        # native rate == design rate == 1 - mb/nb
+        assert abs(step.effective_rate() - step.code.rate) < 1e-12
+    assert rates == sorted(rates)
+    assert len({s.code.mb for s in lad.steps}) == len(lad.steps)
+    # Deterministic protocol configuration: same seed -> identical codes.
+    lad2 = make_rate_ladder(4096, family="native", alg="layered")
+    for a, b in zip(lad.steps, lad2.steps):
+        np.testing.assert_array_equal(a.code.edge_shift, b.code.edge_shift)

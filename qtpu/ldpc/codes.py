@@ -474,6 +474,32 @@ def _h2(p: float) -> float:
     return float(-p * np.log2(p) - (1 - p) * np.log2(1 - p))
 
 
+def _attach_calibration(num_steps: int, n: int, dv: int, alg: str,
+                        family: str):
+    """Look up frozen calibration for this ladder configuration.
+
+    Table values are either a flat tuple (one rung-count measured) or a
+    {num_rungs: value} dict when several rung counts exist for the same
+    (n, dv, alg, family) — e.g. the 5-rung default and 7-rung production
+    native ladders.  Returns (max_qber, short_grid, short_ceilings),
+    any of which may be None.
+    """
+    from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
+                                     DEFAULT_SHORT_CALIBRATION)
+    max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
+    if isinstance(max_qber, dict):
+        max_qber = max_qber.get(num_steps)
+    if max_qber is not None and len(max_qber) != num_steps:
+        max_qber = None
+    short_grid = short_ceilings = None
+    short_cal = DEFAULT_SHORT_CALIBRATION.get((n, dv, alg, family))
+    if isinstance(short_cal, dict):
+        short_cal = short_cal.get(num_steps)
+    if short_cal is not None and len(short_cal[1]) == num_steps:
+        short_grid, short_ceilings = short_cal
+    return max_qber, short_grid, short_ceilings
+
+
 def irregular_profile(nb: int, mb: int) -> list[int]:
     """Column-degree profile for an irregular mother code of rate 1 - mb/nb.
 
@@ -538,15 +564,8 @@ def make_rate_ladder(n: int, dv: int = 3,
                 z=zz, seed=seed + mb_mother)
             steps.append(RateStep(name=f"r{code.rate:.3f}", code=code,
                                   punct_cols=(), short_cols=()))
-        from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
-                                         DEFAULT_SHORT_CALIBRATION)
-        max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
-        if max_qber is not None and len(max_qber) != len(steps):
-            max_qber = None
-        short_grid = short_ceilings = None
-        short_cal = DEFAULT_SHORT_CALIBRATION.get((n, dv, alg, family))
-        if short_cal is not None and len(short_cal[1]) == len(steps):
-            short_grid, short_ceilings = short_cal
+        max_qber, short_grid, short_ceilings = _attach_calibration(
+            len(steps), n, dv, alg, family)
         return RateLadder(steps=tuple(steps), max_qber=max_qber,
                           short_grid=short_grid, short_ceilings=short_ceilings)
     probe = make_regular_code(n, dv, 2 * dv, z=z, seed=seed)  # fixes nb, z
@@ -590,14 +609,7 @@ def make_rate_ladder(n: int, dv: int = 3,
                                   short_cols=tuple(int(c) for c in col_order[:s_cols])))
     # Attach measured QBER ceilings when this configuration has been
     # calibrated (qtpu.ldpc.calibrate).
-    from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
-                                     DEFAULT_SHORT_CALIBRATION)
-    max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
-    if max_qber is not None and len(max_qber) != len(steps):
-        max_qber = None
-    short_grid = short_ceilings = None
-    short_cal = DEFAULT_SHORT_CALIBRATION.get((n, dv, alg, family))
-    if short_cal is not None and len(short_cal[1]) == len(steps):
-        short_grid, short_ceilings = short_cal
+    max_qber, short_grid, short_ceilings = _attach_calibration(
+        len(steps), n, dv, alg, family)
     return RateLadder(steps=tuple(steps), max_qber=max_qber,
                       short_grid=short_grid, short_ceilings=short_ceilings)

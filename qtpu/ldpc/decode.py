@@ -43,6 +43,29 @@ def channel_llr(bits: jax.Array, qber: jax.Array | float) -> jax.Array:
     return jnp.where(bits.astype(bool), -mag, mag).astype(jnp.float32)
 
 
+def _leave_one_out_min(mags):
+    """other[k] = min over j != k of mags[j] via prefix/suffix running mins
+    (exact float min — value-identical to a two-smallest scan, fewer ops;
+    the golden model uses the same construction)."""
+    d = len(mags)
+    pre = [None] * d
+    run = None
+    for k in range(d):
+        pre[k] = run
+        run = mags[k] if run is None else jnp.minimum(run, mags[k])
+    suf = None
+    out = [None] * d
+    for k in range(d - 1, -1, -1):
+        if suf is None:
+            out[k] = pre[k]
+        elif pre[k] is None:
+            out[k] = suf
+        else:
+            out[k] = jnp.minimum(pre[k], suf)
+        suf = mags[k] if suf is None else jnp.minimum(suf, mags[k])
+    return out
+
+
 class BatchDecodeResult(NamedTuple):
     bits: jax.Array        # (B, n) uint8 hard decisions (all n variables)
     converged: jax.Array   # (B,) bool
@@ -112,18 +135,10 @@ def make_batch_decoder(code: QCCode, max_iters: int = 50, alg: str = "minsum",
             sign_all = signs[0]
             for sgn in signs[1:]:
                 sign_all = sign_all * sgn
-            m1 = mags[0]
-            m2 = jnp.full_like(m1, jnp.inf)
-            idx1 = jnp.zeros(m1.shape, dtype=jnp.int32)
-            for k in range(1, len(mags)):
-                is_new_min = mags[k] < m1
-                m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
-                idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
-                m1 = jnp.where(is_new_min, mags[k], m1)
+            others = _leave_one_out_min(mags)
             coset = syn_sign[i]
             for k, e in enumerate(slots):
-                other_min = jnp.where(idx1 == k, m2, m1)
-                out[e] = alpha_f * coset * sign_all * signs[k] * other_min
+                out[e] = alpha_f * coset * sign_all * signs[k] * others[k]
         return jnp.stack(out)
 
     def _check_update_sumprod(v2c, syn_sign):
@@ -235,18 +250,10 @@ def _make_layered_decoder(code: QCCode, max_iters: int, alpha: float):
             sign_all = signs[0]
             for sgn in signs[1:]:
                 sign_all = sign_all * sgn
-            m1 = mags[0]
-            m2 = jnp.full_like(m1, jnp.inf)
-            idx1 = jnp.zeros(m1.shape, jnp.int32)
-            for k in range(1, len(mags)):
-                is_new_min = mags[k] < m1
-                m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
-                idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
-                m1 = jnp.where(is_new_min, mags[k], m1)
+            others = _leave_one_out_min(mags)
             coset = syn_sign[i]
             for k, e in enumerate(slots):
-                other_min = jnp.where(idx1 == k, m2, m1)
-                new = alpha_f * coset * sign_all * signs[k] * other_min
+                new = alpha_f * coset * sign_all * signs[k] * others[k]
                 delta = new - c2v_list[e]
                 c2v_list[e] = new
                 j = edge_col[e]

@@ -73,6 +73,32 @@ def _sign(x: np.ndarray) -> np.ndarray:
     return np.where(x < 0, _F32(-1.0), _F32(1.0))
 
 
+def _leave_one_out_min(mags):
+    """other[k] = min over j != k of mags[j], via prefix/suffix running mins.
+
+    float32 min is exact, so this equals the earlier two-smallest-magnitude
+    scan value-for-value while using fewer ops and no index bookkeeping —
+    the op-order contract is on *values*, which are unchanged.
+    """
+    d = len(mags)
+    pre = [None] * d
+    run = None
+    for k in range(d):
+        pre[k] = run
+        run = mags[k] if run is None else np.minimum(run, mags[k])
+    suf = None
+    out = [None] * d
+    for k in range(d - 1, -1, -1):
+        if suf is None:
+            out[k] = pre[k]
+        elif pre[k] is None:
+            out[k] = suf
+        else:
+            out[k] = np.minimum(pre[k], suf)
+        suf = mags[k] if suf is None else np.minimum(suf, mags[k])
+    return out
+
+
 def decode(code: QCCode,
            llr: np.ndarray,
            syndrome: np.ndarray,
@@ -134,22 +160,14 @@ def decode(code: QCCode,
                 msgs = [v2c_chk[e] for e in slots]
                 signs = [_sign(m) for m in msgs]
                 mags = [np.abs(m) for m in msgs]
-                # Sequential sign product and two-smallest magnitudes.
+                # Sequential sign product; leave-one-out mins.
                 sign_all = signs[0]
                 for sgn in signs[1:]:
                     sign_all = sign_all * sgn
-                m1 = mags[0]
-                m2 = np.full_like(m1, np.inf)
-                idx1 = np.zeros_like(m1, dtype=np.int32)
-                for k in range(1, len(mags)):
-                    is_new_min = mags[k] < m1
-                    m2 = np.where(is_new_min, m1, np.minimum(m2, mags[k]))
-                    idx1 = np.where(is_new_min, np.int32(k), idx1)
-                    m1 = np.where(is_new_min, mags[k], m1)
+                others = _leave_one_out_min(mags)
                 coset = syn_sign[i]
                 for k, e in enumerate(slots):
-                    other_min = np.where(idx1 == k, m2, m1)
-                    out = alpha * coset * sign_all * signs[k] * other_min
+                    out = alpha * coset * sign_all * signs[k] * others[k]
                     c2v_chk[e] = out.astype(_F32)
         elif alg == "sumprod":
             for i in range(code.mb):
@@ -224,18 +242,10 @@ def _decode_layered(code: QCCode, llr: np.ndarray, syndrome: np.ndarray,
             sign_all = signs[0]
             for sgn in signs[1:]:
                 sign_all = sign_all * sgn
-            m1 = mags[0]
-            m2 = np.full_like(m1, np.inf)
-            idx1 = np.zeros_like(m1, dtype=np.int32)
-            for k in range(1, len(mags)):
-                is_new_min = mags[k] < m1
-                m2 = np.where(is_new_min, m1, np.minimum(m2, mags[k]))
-                idx1 = np.where(is_new_min, np.int32(k), idx1)
-                m1 = np.where(is_new_min, mags[k], m1)
+            others = _leave_one_out_min(mags)
             coset = syn_sign[i]
             for k, e in enumerate(slots):
-                other_min = np.where(idx1 == k, m2, m1)
-                new = (alpha * coset * sign_all * signs[k] * other_min).astype(_F32)
+                new = (alpha * coset * sign_all * signs[k] * others[k]).astype(_F32)
                 delta = new - c2v[e]
                 c2v[e] = new
                 j, s = int(code.edge_col[e]), int(code.edge_shift[e])

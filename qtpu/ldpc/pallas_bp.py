@@ -45,15 +45,34 @@ import numpy as np
 from qtpu.ldpc.codes import QCCode
 from qtpu.ldpc.decode import BatchDecodeResult
 
-__all__ = ["make_pallas_decoder"]
+__all__ = ["make_pallas_decoder", "default_batch_tile"]
+
+
+def default_batch_tile(code: QCCode, dtype=jnp.float32) -> int:
+    """Largest batch tile whose kernel state fits the ~16 MB VMEM budget.
+
+    State per block: c2v (E·z) + totals/llr (2·nb·z) in ``dtype`` plus int8
+    syndrome/bits; n=4096 (3,6)-regular fits the full 128-lane tile, n=16384
+    drops to 32 (the lane axis is then underfilled — the price of keeping
+    4x-longer blocks VMEM-resident; see the transposed layout backlog note).
+    """
+    bytes_per = jnp.dtype(dtype).itemsize
+    per_block = ((code.num_edges + 2 * code.nb) * code.z * bytes_per
+                 + (code.mb + 2 * code.nb) * code.z)  # syndrome + bits + pad
+    budget = 12 * 1024 * 1024  # leave headroom for double buffering
+    for bt in (128, 64, 32, 16, 8):
+        if per_block * bt <= budget:
+            return bt
+    return 8
 
 
 def make_pallas_decoder(code: QCCode, max_iters: int = 50,
-                        alpha: float = 0.8125, batch_tile: int = 128,
+                        alpha: float = 0.8125, batch_tile: int | None = None,
                         interpret: bool = False, alg: str = "minsum",
                         dtype=jnp.float32):
     """Build a jitted Pallas decoder ``(llr (B,n) f32, syndrome (B,m)) ->
-    BatchDecodeResult``; B must be a multiple of ``batch_tile``.
+    BatchDecodeResult``; B must be a multiple of ``batch_tile`` (default:
+    largest tile fitting VMEM — see ``default_batch_tile``).
 
     alg="minsum": flooding normalized min-sum with the syndrome check fused
     into the update rolls.  alg="layered": row-layered normalized min-sum —
@@ -63,6 +82,8 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
     """
     if alg not in ("minsum", "layered"):
         raise ValueError(f"pallas decoder supports minsum/layered, got {alg!r}")
+    if batch_tile is None:
+        batch_tile = default_batch_tile(code, dtype)
     if dtype != jnp.float32:
         # bf16 messages would double lane width, but Mosaic currently fails
         # to lower this op mix in bf16 (measured 2026-08-17) — backlog.
@@ -82,6 +103,27 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
 
     def _sign(x):
         return jnp.where(x < 0, -1.0, 1.0).astype(cdt)
+
+    def _loo_min(mags):
+        """other[k] = min over j != k (prefix/suffix running mins; exact
+        float min — value-identical to the golden model's construction)."""
+        d = len(mags)
+        pre = [None] * d
+        run = None
+        for k in range(d):
+            pre[k] = run
+            run = mags[k] if run is None else jnp.minimum(run, mags[k])
+        suf = None
+        out = [None] * d
+        for k in range(d - 1, -1, -1):
+            if suf is None:
+                out[k] = pre[k]
+            elif pre[k] is None:
+                out[k] = suf
+            else:
+                out[k] = jnp.minimum(pre[k], suf)
+            suf = mags[k] if suf is None else jnp.minimum(suf, mags[k])
+        return out
 
     def _roll(x, shift):
         # Mosaic rejects the zero-size slice jnp.roll produces for a
@@ -131,18 +173,10 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                 sign_all = signs[0]
                 for sgn in signs[1:]:
                     sign_all = sign_all * sgn
-                m1 = mags[0]
-                m2 = jnp.full_like(m1, jnp.inf)
-                idx1 = jnp.zeros(m1.shape, jnp.int32)
-                for k in range(1, len(mags)):
-                    is_new_min = mags[k] < m1
-                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
-                    idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
-                    m1 = jnp.where(is_new_min, mags[k], m1)
+                others = _loo_min(mags)
                 cs = coset(i)
                 for k, e in enumerate(slots):
-                    other_min = jnp.where(idx1 == k, m2, m1)
-                    new = alpha_f * cs * sign_all * signs[k] * other_min
+                    new = alpha_f * cs * sign_all * signs[k] * others[k]
                     delta = new - c2v[e]
                     c2v[e] = new
                     j = edge_col[e]
@@ -225,18 +259,10 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                 sign_all = signs[0]
                 for sgn in signs[1:]:
                     sign_all = sign_all * sgn
-                m1 = mags[0]
-                m2 = jnp.full_like(m1, jnp.inf)
-                idx1 = jnp.zeros(m1.shape, jnp.int32)
-                for k in range(1, len(mags)):
-                    is_new_min = mags[k] < m1
-                    m2 = jnp.where(is_new_min, m1, jnp.minimum(m2, mags[k]))
-                    idx1 = jnp.where(is_new_min, jnp.int32(k), idx1)
-                    m1 = jnp.where(is_new_min, mags[k], m1)
+                others = _loo_min(mags)
                 cs = coset(i)
                 for k, e in enumerate(slots):
-                    other_min = jnp.where(idx1 == k, m2, m1)
-                    c2v[e] = alpha_f * cs * sign_all * signs[k] * other_min
+                    c2v[e] = alpha_f * cs * sign_all * signs[k] * others[k]
 
             # ---- convergence bookkeeping (totals still pre-update) -------
             ok_cur = (worst > 0).astype(jnp.float32)

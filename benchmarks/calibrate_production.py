@@ -13,10 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from qtpu.ldpc.calibrate import calibrate_ladder, calibrate_short
-from qtpu.ldpc.codes import make_rate_ladder
-
-# mb = 16, 13, 11, 9, 7, 5, 4 at nb=32.
-PRODUCTION_RATES = (0.5, 0.59375, 0.65625, 0.71875, 0.78125, 0.84375, 0.875)
+from qtpu.ldpc.codes import PRODUCTION_RATES, make_rate_ladder
 
 
 def main() -> None:

@@ -26,10 +26,15 @@ def h2(p: float) -> float:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    bpw = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    cfg = PipelineConfig(n=n, blocks_per_window=bpw,
-                         qber_test_bits=8192, qber_segment_bits=32768)
+    if len(sys.argv) > 1 and sys.argv[1] == "production":
+        from qtpu.pipeline import production_config
+        cfg = production_config()
+        n, bpw = cfg.n, cfg.blocks_per_window
+    else:
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+        bpw = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        cfg = PipelineConfig(n=n, blocks_per_window=bpw,
+                             qber_test_bits=8192, qber_segment_bits=32768)
     rng = np.random.default_rng(1)
     rows = []
     for q in (0.01, 0.02, 0.03, 0.05, 0.07):

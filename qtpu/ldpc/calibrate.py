@@ -180,7 +180,13 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     # Native-rate irregular mothers (no puncturing): the 0.688 rung beats the
     # punctured 0.7 rung by +0.5% QBER at n=16384.
     (4096, 3, "layered", "native"): (0.0775, 0.0525, 0.0325, 0.0125, 0.005),
-    (16384, 3, "layered", "native"): (0.0825, 0.0575, 0.0375, 0.015, 0.0075),
+    # Several rung counts for one configuration live in a {num_rungs: tuple}
+    # dict (the 5-rung default ladder and the 7-rung production ladder of
+    # benchmarks/calibrate_production.py).
+    (16384, 3, "layered", "native"): {
+        5: (0.0825, 0.0575, 0.0375, 0.015, 0.0075),
+        7: (0.0825, 0.0575, 0.0425, 0.03, 0.02, 0.01, 0.0075),
+    },
 }
 
 # Fine rate adaptation: per-rung QBER ceiling at each extra-shortening
@@ -213,13 +219,23 @@ DEFAULT_SHORT_CALIBRATION: dict[
          (0.0325, 0.0375, 0.04, 0.0425, 0.0475, 0.0525),
          (0.0125, 0.0125, 0.015, 0.0175, 0.02, 0.02),
          (0.005, 0.005, 0.0075, 0.0075, 0.0075, 0.01))),
-    (16384, 3, "layered", "native"): (
-        (0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
-        ((0.0825, 0.0875, 0.0975, 0.1075, 0.1175, 0.13),
-         (0.0575, 0.06, 0.0675, 0.0725, 0.08, 0.09),
-         (0.0375, 0.04, 0.0425, 0.0475, 0.0525, 0.0575),
-         (0.015, 0.0175, 0.0175, 0.02, 0.02, 0.025),
-         (0.0075, 0.0075, 0.0075, 0.01, 0.01, 0.0125))),
+    (16384, 3, "layered", "native"): {
+        5: ((0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
+            ((0.0825, 0.0875, 0.0975, 0.1075, 0.1175, 0.13),
+             (0.0575, 0.06, 0.0675, 0.0725, 0.08, 0.09),
+             (0.0375, 0.04, 0.0425, 0.0475, 0.0525, 0.0575),
+             (0.015, 0.0175, 0.0175, 0.02, 0.02, 0.025),
+             (0.0075, 0.0075, 0.0075, 0.01, 0.01, 0.0125))),
+        # 7-rung production ladder (benchmarks/calibrate_production.py).
+        7: ((0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
+            ((0.0825, 0.0875, 0.0975, 0.1075, 0.1175, 0.13),
+             (0.0575, 0.06, 0.0675, 0.0725, 0.08, 0.09),
+             (0.0425, 0.0475, 0.05, 0.055, 0.06, 0.0675),
+             (0.03, 0.0325, 0.035, 0.04, 0.0425, 0.0475),
+             (0.02, 0.0225, 0.0225, 0.025, 0.0275, 0.0325),
+             (0.01, 0.0125, 0.0125, 0.015, 0.015, 0.0175),
+             (0.0075, 0.0075, 0.0075, 0.01, 0.01, 0.0125))),
+    },
 }
 
 

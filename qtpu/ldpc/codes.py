@@ -37,7 +37,12 @@ __all__ = [
     "RateLadder",
     "RateStep",
     "make_rate_ladder",
+    "PRODUCTION_RATES",
 ]
+
+# The 7-rung production ladder targets (family="native", nb=32: mb = 16, 13,
+# 11, 9, 7, 5, 4) — calibrated at n=16384 in benchmarks/calibrate_production.
+PRODUCTION_RATES = (0.5, 0.59375, 0.65625, 0.71875, 0.78125, 0.84375, 0.875)
 
 
 @dataclasses.dataclass(frozen=True)

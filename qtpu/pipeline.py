@@ -47,7 +47,21 @@ from qtpu.link import LoopbackLink
 from qtpu.messages import (Abort, Message, MsgType, QberDisclose, RateSelect,
                            RetryDisclose, Syndromes, VerifyAck)
 
-__all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback"]
+__all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback",
+           "production_config"]
+
+
+def production_config(**overrides) -> "PipelineConfig":
+    """The tuned production configuration (lowest measured leakage):
+    n=16384 blocks on the 7-rung native-family ladder, 64-block windows
+    (1 Mbit of payload per decode step), 8k QBER test bits per window.
+    Override any field via kwargs."""
+    from qtpu.ldpc.codes import PRODUCTION_RATES
+    base = dict(n=16384, family="native", target_rates=PRODUCTION_RATES,
+                blocks_per_window=64, qber_test_bits=8192,
+                qber_segment_bits=32768)
+    base.update(overrides)
+    return PipelineConfig(**base)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,7 +39,7 @@ def _positions(step: RateStep):
 
 def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
                 max_iters: int = 60, alg: str = "minsum",
-                extra_short_bits: int = 0,
+                extra_short_bits: int = 0, alpha: float = 0.8125,
                 _cache: dict = {}) -> tuple[float, float]:
     """Simulate `blocks` reconciliations at the given true QBER.
 
@@ -52,10 +52,10 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
     the remaining (true payload) positions only.
     """
     code = step.code
-    ck = (id(step.code), max_iters, alg)
+    ck = (id(step.code), max_iters, alg, alpha)
     if ck not in _cache:
         _cache[ck] = (make_batch_encoder(code),
-                      make_batch_decoder(code, max_iters, alg))
+                      make_batch_decoder(code, max_iters, alg, alpha))
     enc, dec = _cache[ck]
     pay, pun, sho = _positions(step)
     rng = np.random.default_rng(seed)

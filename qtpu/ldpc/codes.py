@@ -252,6 +252,38 @@ def make_regular_code(n: int, dv: int = 3, dc: int = 6, z: Optional[int] = None,
     return code
 
 
+def _base_graph_greedy(col_degrees: Sequence[int], row_degrees: Sequence[int],
+                       mb: int, rng: np.random.Generator
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Simple-by-construction bipartite base graph for dense profiles.
+
+    Columns are placed in decreasing-degree order; each column takes its
+    ``d`` DISTINCT rows from the rows with the most remaining capacity
+    (random tie-break), which both avoids parallel edges and keeps row
+    degrees balanced.  Requires max(col_degrees) <= mb.
+    """
+    if max(col_degrees) > mb:
+        raise ValueError(f"column degree {max(col_degrees)} exceeds mb={mb}")
+    cap = np.asarray(row_degrees, np.int64).copy()
+    order = sorted(range(len(col_degrees)),
+                   key=lambda j: -int(col_degrees[j]))
+    rows_out: list[int] = []
+    cols_out: list[int] = []
+    for j in order:
+        d = int(col_degrees[j])
+        pri = cap.astype(np.float64) + rng.random(mb)  # random tie-break
+        chosen = np.argsort(-pri)[:d]
+        if np.any(cap[chosen] <= 0):
+            # Capacity exhausted on some row: take the d highest-capacity
+            # rows anyway (overflows by at most 1 — row balance is a
+            # heuristic, simplicity is the invariant).
+            pass
+        cap[chosen] -= 1
+        rows_out.extend(int(r) for r in chosen)
+        cols_out.extend([j] * d)
+    return (np.asarray(rows_out, np.int32), np.asarray(cols_out, np.int32))
+
+
 def make_irregular_code(n: int, col_degrees: Sequence[int], mb: int,
                         z: Optional[int] = None,
                         seed: int = 0x1BBE) -> QCCode:
@@ -298,7 +330,11 @@ def make_irregular_code(n: int, col_degrees: Sequence[int], mb: int,
         if int(rows[other]) != int(rows[conflict]):
             stubs[conflict], stubs[other] = stubs[other], stubs[conflict]
     else:
-        raise RuntimeError("could not construct a simple irregular base graph")
+        # Dense profiles (e.g. columns of degree == mb, which must hit every
+        # row exactly once) defeat random stub swaps; fall back to a greedy
+        # distinct-row assignment.  Only reached when the legacy path fails,
+        # so codes (and frozen calibration) for existing seeds are unchanged.
+        rows, stubs = _base_graph_greedy(col_degrees, row_degrees, mb, rng)
     shifts = rng.integers(0, z, size=len(rows)).astype(np.int32)
     shifts = _break_base_4cycles(rows, stubs, shifts, z, rng)
     code = QCCode(

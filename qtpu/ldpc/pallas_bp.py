@@ -69,7 +69,7 @@ def default_batch_tile(code: QCCode, dtype=jnp.float32) -> int:
 def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                         alpha: float = 0.8125, batch_tile: int | None = None,
                         interpret: bool = False, alg: str = "minsum",
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, layout: str = "auto"):
     """Build a jitted Pallas decoder ``(llr (B,n) f32, syndrome (B,m)) ->
     BatchDecodeResult``; B must be a multiple of ``batch_tile`` (default:
     largest tile fitting VMEM — see ``default_batch_tile``).
@@ -79,15 +79,30 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
     immediate posterior updates per base row, ~half the sweeps of flooding
     (the production schedule).  Both bit-exact vs their golden models;
     sum-product stays on the XLA path as the accuracy fallback.
+
+    layout="zb": per-edge tiles are (z, batch_tile) — batch on the lane
+    axis, circulant rolls on sublanes.  Full lane utilization needs
+    batch_tile=128, which only fits VMEM for n<=4096-class codes.
+    layout="bz": transposed (batch_tile, z) tiles — z on the lane axis
+    (lane rolls), batch on sublanes.  z>=128 keeps the lanes full at ANY
+    batch tile, so large-n codes (n=16384: batch_tile 32) stop wasting
+    3/4 of the VPU.  "auto" picks bz when the fitted batch tile is lane-
+    starved (<128) and z is lane-aligned.  Both layouts are value- and
+    iteration-count-identical (same float ops, different axes).
     """
     if alg not in ("minsum", "layered"):
         raise ValueError(f"pallas decoder supports minsum/layered, got {alg!r}")
     if batch_tile is None:
         batch_tile = default_batch_tile(code, dtype)
     if dtype != jnp.float32:
-        # bf16 messages would double lane width, but Mosaic currently fails
-        # to lower this op mix in bf16 (measured 2026-08-17) — backlog.
+        # bf16 messages would double lane width, but Mosaic fails to lower
+        # even a minimal bf16 roll/sign/min op mix (re-probed 2026-08-18:
+        # backend compile subprocess crash) — f32 is the only path.
         raise NotImplementedError("only float32 messages are supported")
+    if layout == "auto":
+        layout = "bz" if (batch_tile < 128 and code.z % 128 == 0) else "zb"
+    if layout not in ("zb", "bz"):
+        raise ValueError(f"layout must be zb/bz/auto, got {layout!r}")
     layered = alg == "layered"
     edge_col = [int(x) for x in code.edge_col]
     edge_shift = [int(x) for x in code.edge_shift]
@@ -95,11 +110,29 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
     col_edges = [[int(e) for e in col if e >= 0] for col in code.col_edges]
     mb, nb, z, E = code.mb, code.nb, code.z, code.num_edges
     bt = batch_tile
+    zb = layout == "zb"
+    ZB = (z, bt) if zb else (bt, z)   # per-base-slot tile shape
+    rax = 0 if zb else 1              # the circulant (z) axis of a tile
+    ST = (8, bt) if zb else (bt, 8)   # state/iters/conv tile shape
     cdt = dtype             # compute dtype: f32 (bit-exact vs golden) or
                             # bf16 (2x lane width; FER-validated, not
                             # bit-exact — see tests)
     alpha_f = float(alpha)  # python scalar: jnp constants would be captured
                             # closure consts, which pallas_call rejects
+
+    def _sget(ref, r):
+        """Per-block vector r of a state-shaped ref/array."""
+        return ref[r:r + 1, :] if zb else ref[:, r:r + 1]
+
+    def _sset(ref, r, v):
+        if zb:
+            ref[r:r + 1, :] = v
+        else:
+            ref[:, r:r + 1] = v
+
+    def _redmin(x):
+        """Reduce min over the z axis -> per-block vector ((1,bt)/(bt,1))."""
+        return jnp.min(x, axis=rax, keepdims=True)
 
     def _sign(x):
         return jnp.where(x < 0, -1.0, 1.0).astype(cdt)
@@ -130,7 +163,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         # no-op shift; circulant shifts CAN be 0 (mod z).
         if shift % z == 0:
             return x
-        return jnp.roll(x, shift, axis=0)
+        return jnp.roll(x, shift, axis=rax)
 
     def kernel_layered(llr_ref, syn_ref, bits_ref, iters_ref, conv_ref,
                        c2v, totals, state):
@@ -146,21 +179,21 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                 for e in row_edges[i]:
                     t_chk = _roll(totals[edge_col[e]], -edge_shift[e])
                     prod = prod * _sign(t_chk)
-                row_min = jnp.min(prod, axis=0, keepdims=True)  # (1, bt)
+                row_min = _redmin(prod)  # per-block vector
                 worst = row_min if worst is None else jnp.minimum(worst, row_min)
             return (worst > 0).astype(jnp.float32)
 
         for e in range(E):
-            c2v[e] = jnp.zeros((z, bt), cdt)
+            c2v[e] = jnp.zeros(ZB, cdt)
         for j in range(nb):
             totals[j] = llr_ref[j]
             bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
-        state[0:1, :] = syndrome_ok()
-        state[1:2, :] = jnp.zeros((1, bt), jnp.float32)
+        _sset(state, 0, syndrome_ok())
+        _sset(state, 1, jnp.zeros_like(_sget(state, 1)))
 
         def body(carry):
             it, _ = carry
-            ok_prev = state[0:1, :]
+            ok_prev = _sget(state, 0)
             # ---- one layered sweep: rows update sequentially with
             # immediate posterior (totals) updates -------------------------
             for i in range(mb):
@@ -188,11 +221,11 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             for j in range(nb):
                 bits_ref[j] = jnp.where(newly, (totals[j] < 0).astype(jnp.int8),
                                         bits_ref[j])
-            iters = state[1:2, :]
-            state[1:2, :] = jnp.where(ok_prev > 0, iters,
-                                      (it + 1).astype(jnp.float32))
+            iters = _sget(state, 1)
+            _sset(state, 1, jnp.where(ok_prev > 0, iters,
+                                      (it + 1).astype(jnp.float32)))
             ok = jnp.maximum(ok_prev, ok_cur)
-            state[0:1, :] = ok
+            _sset(state, 0, ok)
             return it + 1, jnp.min(ok) > 0
 
         def cond(carry):
@@ -200,16 +233,16 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             return jnp.logical_and(it < max_iters, jnp.logical_not(done))
 
         jax.lax.while_loop(cond, body, (jnp.int32(0),
-                                        jnp.min(state[0:1, :]) > 0))
+                                        jnp.min(_sget(state, 0)) > 0))
 
-        ok = state[0:1, :] > 0
+        ok = _sget(state, 0) > 0
         for j in range(nb):
             bits_ref[j] = jnp.where(ok, bits_ref[j],
                                     (totals[j] < 0).astype(jnp.int8))
-        iters_ref[...] = jnp.zeros((8, bt), jnp.int32)
-        iters_ref[0:1, :] = state[1:2, :].astype(jnp.int32)
-        conv_ref[...] = jnp.zeros((8, bt), jnp.int32)
-        conv_ref[0:1, :] = (state[0:1, :] > 0).astype(jnp.int32)
+        iters_ref[...] = jnp.zeros(ST, jnp.int32)
+        _sset(iters_ref, 0, _sget(state, 1).astype(jnp.int32))
+        conv_ref[...] = jnp.zeros(ST, jnp.int32)
+        _sset(conv_ref, 0, (_sget(state, 0) > 0).astype(jnp.int32))
 
     def kernel(llr_ref, syn_ref, bits_ref, iters_ref, conv_ref,
                c2v, totals, state):
@@ -223,19 +256,19 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         # --- init: c2v = 0, totals = llr ---------------------------------
         # (per-slice writes keep Mosaic stack temporaries small)
         for e in range(E):
-            c2v[e] = jnp.zeros((z, bt), cdt)
+            c2v[e] = jnp.zeros(ZB, cdt)
         for j in range(nb):
             totals[j] = llr_ref[j]
             bits_ref[j] = (llr_ref[j] < 0).astype(jnp.int8)
-        state[0:1, :] = jnp.zeros((1, bt), jnp.float32)
-        state[1:2, :] = jnp.zeros((1, bt), jnp.float32)
+        _sset(state, 0, jnp.zeros_like(_sget(state, 0)))
+        _sset(state, 1, jnp.zeros_like(_sget(state, 1)))
 
         def body(carry):
             """One fused round: the t_chk rolls feed BOTH the syndrome check
             of the current totals (convergence after `it` updates) and the
             v2c messages of update it+1 — no separate syndrome pass."""
             it, _ = carry
-            ok_prev = state[0:1, :]
+            ok_prev = _sget(state, 0)
 
             # ---- phase A: per-row rolls → syndrome + min-sum update ------
             # Rows partition the edge set, so updating c2v row-by-row while
@@ -250,7 +283,7 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                 prod = coset(i)
                 for t in t_chks:
                     prod = prod * _sign(t)
-                row_min = jnp.min(prod, axis=0, keepdims=True)  # (1, bt)
+                row_min = _redmin(prod)  # per-block vector
                 worst = row_min if worst is None else jnp.minimum(worst, row_min)
 
                 msgs = [t_chks[k] - c2v[e] for k, e in enumerate(slots)]
@@ -266,14 +299,15 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
 
             # ---- convergence bookkeeping (totals still pre-update) -------
             ok_cur = (worst > 0).astype(jnp.float32)
-            newly = jnp.logical_and(ok_cur > 0, ok_prev <= 0)  # (1, bt)
+            newly = jnp.logical_and(ok_cur > 0, ok_prev <= 0)  # per-block
             for j in range(nb):
                 bits_ref[j] = jnp.where(newly, (totals[j] < 0).astype(jnp.int8),
                                         bits_ref[j])
-            iters = state[1:2, :]
-            state[1:2, :] = jnp.where(ok_prev > 0, iters, it.astype(jnp.float32))
+            iters = _sget(state, 1)
+            _sset(state, 1, jnp.where(ok_prev > 0, iters,
+                                      it.astype(jnp.float32)))
             ok = jnp.maximum(ok_prev, ok_cur)
-            state[0:1, :] = ok
+            _sset(state, 0, ok)
             done = jnp.min(ok) > 0
 
             # ---- phase B: variable-node totals ---------------------------
@@ -301,22 +335,22 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         # --- outputs ------------------------------------------------------
         # Converged lanes keep their latched bits; the rest take the current
         # hard decision.
-        ok = state[0:1, :] > 0  # (1, bt)
+        ok = _sget(state, 0) > 0  # per-block
         for j in range(nb):
             bits_ref[j] = jnp.where(ok, bits_ref[j],
                                     (totals[j] < 0).astype(jnp.int8))
-        iters_ref[...] = jnp.zeros((8, bt), jnp.int32)
-        iters_ref[0:1, :] = state[1:2, :].astype(jnp.int32)
-        conv_ref[...] = jnp.zeros((8, bt), jnp.int32)
-        conv_ref[0:1, :] = (state[0:1, :] > 0).astype(jnp.int32)
+        iters_ref[...] = jnp.zeros(ST, jnp.int32)
+        _sset(iters_ref, 0, _sget(state, 1).astype(jnp.int32))
+        conv_ref[...] = jnp.zeros(ST, jnp.int32)
+        _sset(conv_ref, 0, (_sget(state, 0) > 0).astype(jnp.int32))
 
     grid_call = functools.partial(
         pl.pallas_call,
         kernel_layered if layered else kernel,
         scratch_shapes=[
-            pltpu.VMEM((E, z, bt), dtype),          # c2v
-            pltpu.VMEM((nb, z, bt), dtype),         # totals
-            pltpu.VMEM((8, bt), jnp.float32),       # state (ok, iters)
+            pltpu.VMEM((E,) + ZB, dtype),           # c2v
+            pltpu.VMEM((nb,) + ZB, dtype),          # totals
+            pltpu.VMEM(ST, jnp.float32),            # state (ok, iters)
         ],
         compiler_params=pltpu.CompilerParams(
             # The conservative default scoped-VMEM limit (16 MB) undercounts
@@ -331,34 +365,40 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
         bsz = llr.shape[0]
         assert bsz % bt == 0, f"batch {bsz} not a multiple of tile {bt}"
         num_tiles = bsz // bt
-        llr_i = jnp.transpose(llr.reshape(bsz, nb, z), (1, 2, 0)).astype(dtype)
-        syn_i = jnp.transpose(syndrome.reshape(bsz, mb, z), (1, 2, 0)).astype(jnp.int8)
+        perm = (1, 2, 0) if zb else (1, 0, 2)   # (B, slots, z) -> slot-major
+        llr_i = jnp.transpose(llr.reshape(bsz, nb, z), perm).astype(dtype)
+        syn_i = jnp.transpose(syndrome.reshape(bsz, mb, z), perm).astype(jnp.int8)
+
+        if zb:
+            slot_spec = lambda s: pl.BlockSpec(  # noqa: E731
+                (s, z, bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            st_spec = pl.BlockSpec((8, bt), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)
+            st_shape = (8, bsz)
+        else:
+            slot_spec = lambda s: pl.BlockSpec(  # noqa: E731
+                (s, bt, z), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            st_spec = pl.BlockSpec((bt, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            st_shape = (bsz, 8)
 
         bits, iters, conv = grid_call(
             grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((nb, z, bt), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((mb, z, bt), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((nb, z, bt), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, bt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=[slot_spec(nb), slot_spec(mb)],
+            out_specs=[slot_spec(nb), st_spec, st_spec],
             out_shape=[
-                jax.ShapeDtypeStruct((nb, z, bsz), jnp.int8),
-                jax.ShapeDtypeStruct((8, bsz), jnp.int32),
-                jax.ShapeDtypeStruct((8, bsz), jnp.int32),
+                jax.ShapeDtypeStruct((nb,) + ((z, bsz) if zb else (bsz, z)),
+                                     jnp.int8),
+                jax.ShapeDtypeStruct(st_shape, jnp.int32),
+                jax.ShapeDtypeStruct(st_shape, jnp.int32),
             ],
         )(llr_i, syn_i)
 
-        bits_out = jnp.transpose(bits.astype(jnp.uint8), (2, 0, 1)).reshape(bsz, nb * z)
-        return BatchDecodeResult(bits=bits_out, converged=conv[0] > 0,
-                                 iterations=iters[0])
+        iperm = (2, 0, 1) if zb else (1, 0, 2)  # back to (B, slots, z)
+        bits_out = jnp.transpose(bits.astype(jnp.uint8), iperm).reshape(
+            bsz, nb * z)
+        it_v, cv_v = (iters[0], conv[0]) if zb else (iters[:, 0], conv[:, 0])
+        return BatchDecodeResult(bits=bits_out, converged=cv_v > 0,
+                                 iterations=it_v)
 
     return decode

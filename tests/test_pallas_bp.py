@@ -89,3 +89,49 @@ def test_tpu_layered_bit_exact_vs_xla(scenario):
     np.testing.assert_array_equal(np.asarray(pal.bits), np.asarray(xla.bits))
     np.testing.assert_array_equal(np.asarray(pal.iterations),
                                   np.asarray(xla.iterations))
+
+
+@pytest.fixture(scope="module")
+def scenario_z128():
+    # z=128 (lane-aligned) so the transposed "bz" layout is constructible.
+    code = make_regular_code(2048)
+    assert code.z % 128 == 0
+    rng = np.random.default_rng(7)
+    B = 16
+    keys = rng.integers(0, 2, (B, code.n)).astype(np.uint8)
+    qbers = np.repeat([0.005, 0.02, 0.04, 0.06], 4)
+    noise = (rng.random((B, code.n)) < qbers[:, None]).astype(np.uint8)
+    syn = make_batch_encoder(code)(jnp.asarray(keys))
+    llr = channel_llr(jnp.asarray(keys ^ noise), 0.03)
+    return code, llr, syn
+
+
+@pytest.mark.parametrize("alg", ["minsum", "layered"])
+def test_bz_layout_interpret_bit_exact_vs_xla(scenario_z128, alg):
+    """Transposed (batch, z) tiles — z on lanes — must be value- and
+    iteration-identical to the XLA decoder (and hence the golden model)."""
+    code, llr, syn = scenario_z128
+    xla = make_batch_decoder(code, max_iters=30, alg=alg)(llr, syn)
+    pal = make_pallas_decoder(code, max_iters=30, batch_tile=8,
+                              interpret=True, alg=alg, layout="bz")(llr, syn)
+    np.testing.assert_array_equal(np.asarray(pal.bits), np.asarray(xla.bits))
+    np.testing.assert_array_equal(np.asarray(pal.iterations),
+                                  np.asarray(xla.iterations))
+    np.testing.assert_array_equal(np.asarray(pal.converged),
+                                  np.asarray(xla.converged))
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("alg", ["minsum", "layered"])
+def test_tpu_bz_layout_bit_exact_vs_xla(scenario_z128, alg):
+    code, llr, syn = scenario_z128
+    B, bt = llr.shape[0], 32
+    reps = bt // B
+    llr_t = jnp.tile(llr, (reps, 1))
+    syn_t = jnp.tile(syn, (reps, 1))
+    xla = make_batch_decoder(code, max_iters=30, alg=alg)(llr_t, syn_t)
+    pal = make_pallas_decoder(code, max_iters=30, batch_tile=bt, alg=alg,
+                              layout="bz")(llr_t, syn_t)
+    np.testing.assert_array_equal(np.asarray(pal.bits), np.asarray(xla.bits))
+    np.testing.assert_array_equal(np.asarray(pal.iterations),
+                                  np.asarray(xla.iterations))

@@ -11,6 +11,7 @@ second of steady-state device time.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,6 +21,18 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the tunneled-TPU compile path is slow and
+    # occasionally stalls; a primed on-disk cache makes the measured run skip
+    # compilation entirely (cache is keyed by program + compiler version, so
+    # a stale entry is never wrongly reused).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jaxlib: run without the cache
     from qtpu.ldpc.codes import make_regular_code
     from qtpu.ldpc.decode import make_batch_decoder, channel_llr
     from qtpu.ldpc.encode import make_batch_encoder

@@ -94,3 +94,27 @@ def test_native_family_ladder():
     lad2 = make_rate_ladder(4096, family="native", alg="layered")
     for a, b in zip(lad.steps, lad2.steps):
         np.testing.assert_array_equal(a.code.edge_shift, b.code.edge_shift)
+
+
+def test_native2_family_ladder():
+    """family="native2": native-rate mothers with the optimized v2 profile
+    (max degree-2 mass, deg-4 shoulder, 3-column tail); valid at every
+    production rung and deterministic like native."""
+    from qtpu.ldpc.codes import (PRODUCTION_RATES, irregular_profile_v2,
+                                 make_rate_ladder)
+    lad = make_rate_ladder(16384, family="native2", alg="layered",
+                           target_rates=PRODUCTION_RATES)
+    assert len(lad.steps) == len(PRODUCTION_RATES)
+    for step in lad.steps:
+        assert step.punct_cols == () and step.short_cols == ()
+        step.code.validate()
+        nb, mb = step.code.nb, step.code.mb
+        prof = irregular_profile_v2(nb, mb)
+        assert len(prof) == nb and sum(prof) == step.code.num_edges
+        assert max(prof) <= mb  # simple columns: distinct rows exist
+        assert prof.count(2) == min(mb - 1, nb // 2)  # cycle-safety cap
+    assert [s.code.mb for s in lad.steps] == [16, 13, 11, 9, 7, 5, 4]
+    lad2 = make_rate_ladder(16384, family="native2", alg="layered",
+                            target_rates=PRODUCTION_RATES)
+    for a, b in zip(lad.steps, lad2.steps):
+        np.testing.assert_array_equal(a.code.edge_shift, b.code.edge_shift)

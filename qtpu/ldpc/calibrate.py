@@ -187,6 +187,13 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
         5: (0.0825, 0.0575, 0.0375, 0.015, 0.0075),
         7: (0.0825, 0.0575, 0.0425, 0.03, 0.02, 0.01, 0.0075),
     },
+    # native2 = irregular_profile_v2 mothers (benchmarks/calibrate_native2.py,
+    # TPU v5 lite 2026-08-19): beats native by +0.25-0.5% QBER on rungs 1-5
+    # (the 1-5% operating range); only the rate-0.5 rung regresses (7.75% vs
+    # 8.25%), which bounds the usable-QBER tail, not the operating point.
+    (16384, 3, "layered", "native2"): {
+        7: (0.0775, 0.0625, 0.0475, 0.0325, 0.02, 0.0125, 0.0075),
+    },
 }
 
 # Fine rate adaptation: per-rung QBER ceiling at each extra-shortening
@@ -235,6 +242,18 @@ DEFAULT_SHORT_CALIBRATION: dict[
              (0.02, 0.0225, 0.0225, 0.025, 0.0275, 0.0325),
              (0.01, 0.0125, 0.0125, 0.015, 0.015, 0.0175),
              (0.0075, 0.0075, 0.0075, 0.01, 0.01, 0.0125))),
+    },
+    # native2 7-rung production ladder (benchmarks/calibrate_native2.py,
+    # TPU v5 lite 2026-08-19).
+    (16384, 3, "layered", "native2"): {
+        7: ((0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
+            ((0.0775, 0.0825, 0.0975, 0.11, 0.1175, 0.1375),
+             (0.0625, 0.065, 0.0725, 0.0775, 0.0875, 0.095),
+             (0.0475, 0.05, 0.055, 0.06, 0.065, 0.0725),
+             (0.0325, 0.035, 0.04, 0.0425, 0.0475, 0.05),
+             (0.02, 0.0225, 0.025, 0.0275, 0.03, 0.0325),
+             (0.0125, 0.0125, 0.015, 0.015, 0.0175, 0.0175),
+             (0.0075, 0.0075, 0.01, 0.01, 0.0125, 0.0125))),
     },
 }
 

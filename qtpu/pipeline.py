@@ -53,11 +53,13 @@ __all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback",
 
 def production_config(**overrides) -> "PipelineConfig":
     """The tuned production configuration (lowest measured leakage):
-    n=16384 blocks on the 7-rung native-family ladder, 64-block windows
-    (1 Mbit of payload per decode step), 8k QBER test bits per window.
-    Override any field via kwargs."""
+    n=16384 blocks on the 7-rung native2-family ladder (irregular_profile_v2
+    mothers — calibrated 2026-08-19, +0.25-0.5% QBER ceiling over "native"
+    on the 1-5% operating rungs), 64-block windows (1 Mbit of payload per
+    decode step), 8k QBER test bits per window.  Override any field via
+    kwargs."""
     from qtpu.ldpc.codes import PRODUCTION_RATES
-    base = dict(n=16384, family="native", target_rates=PRODUCTION_RATES,
+    base = dict(n=16384, family="native2", target_rates=PRODUCTION_RATES,
                 blocks_per_window=64, qber_test_bits=8192,
                 qber_segment_bits=32768)
     base.update(overrides)

@@ -34,6 +34,7 @@ __all__ = [
     "QCCode",
     "make_regular_code",
     "make_irregular_code",
+    "make_qc_from_base",
     "RateLadder",
     "RateStep",
     "make_rate_ladder",
@@ -344,6 +345,31 @@ def make_irregular_code(n: int, col_degrees: Sequence[int], mb: int,
         edge_shift=shifts.astype(np.int32),
         row_edges=_group_edges(rows, mb),
         col_edges=_group_edges(stubs, nb),
+    )
+    code.validate()
+    return code
+
+
+def make_qc_from_base(edge_row: Sequence[int], edge_col: Sequence[int],
+                      mb: int, nb: int, z: int, seed: int = 0x1BBE) -> QCCode:
+    """Lift an EXPLICIT base graph (edge list) into a QC code.
+
+    Used for density-evolution-DESIGNED base graphs (qtpu.ldpc.design.
+    optimize_base_graph → qtpu.ldpc.designed): the protograph itself is
+    protocol configuration; only the circulant shifts are sampled here
+    (deterministically from ``seed``) with lifted-4-cycle breaking.
+    """
+    rows = np.asarray(edge_row, np.int32)
+    cols = np.asarray(edge_col, np.int32)
+    rng = np.random.default_rng(seed)
+    shifts = rng.integers(0, z, size=len(rows)).astype(np.int32)
+    shifts = _break_base_4cycles(rows, cols, shifts, z, rng)
+    code = QCCode(
+        z=z, mb=mb, nb=nb,
+        edge_row=rows, edge_col=cols,
+        edge_shift=shifts.astype(np.int32),
+        row_edges=_group_edges(rows, mb),
+        col_edges=_group_edges(cols, nb),
     )
     code.validate()
     return code

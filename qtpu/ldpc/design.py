@@ -36,17 +36,20 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["MinSumDE", "de_threshold", "optimize_profile"]
+__all__ = ["MinSumDE", "de_threshold", "optimize_profile",
+           "ProtographDE", "proto_threshold", "optimize_base_graph"]
 
 
 class MinSumDE:
     """Density evolution for normalized min-sum over BSC(q).
 
     Args:
+      qber: BSC crossover probability of the evolved channel.
+      alpha: min-sum normalization factor (production decoder uses 13/16).
       bins: number of magnitude bins (grid has 2*bins+1 signed points).
-      max_llr: saturation magnitude, in units of the channel LLR magnitude
-        (messages rarely exceed ~dv * channel magnitude before saturation
-        matters; 16 is generous for dv <= 12).
+      max_llr_mult: saturation magnitude, in units of the channel LLR
+        magnitude (messages rarely exceed ~dv * channel magnitude before
+        saturation matters; 16 is generous for dv <= 12).
     """
 
     def __init__(self, qber: float, alpha: float = 0.8125,
@@ -63,9 +66,13 @@ class MinSumDE:
         kb = min(self.B, int(round(self.mag / self.delta)))
         self.ch[self.B + kb] = 1.0 - self.q
         self.ch[self.B - kb] = self.q
-        # Precompute alpha re-bin map for magnitudes 0..B (floor).
+        # Precompute alpha re-bin map for magnitudes 0..B.  floor() would
+        # send magnitude-1 messages to 0, folding their sign into +0
+        # (sign(0)=+1) — an optimistic bias at coarse grids; clamp nonzero
+        # magnitudes to stay nonzero instead.
         m = np.arange(self.B + 1)
         self.alpha_map = np.floor(self.alpha * m).astype(np.int64)
+        self.alpha_map[1:] = np.maximum(self.alpha_map[1:], 1)
 
     def err(self, pmf: np.ndarray) -> float:
         """Message error probability: P(x < 0) + P(x == 0)/2."""
@@ -175,9 +182,15 @@ class MinSumDE:
             e = self.err(c2v)
             if e < target:
                 return True, it
-            if e > prev - 1e-9:
+            # Stall = no RELATIVE progress.  DE just below threshold passes
+            # through a characteristically slow plateau (error shrinking by
+            # <0.1%/iter for tens of iterations) before the waterfall; an
+            # absolute criterion (e > prev - 1e-9) misclassifies that plateau
+            # as a fixed point and systematically underestimates thresholds
+            # (round-1 advisor finding).
+            if e > prev * (1.0 - 1e-4):
                 stall += 1
-                if stall >= 8:
+                if stall >= 12:
                     return False, it
             else:
                 stall = 0
@@ -253,4 +266,331 @@ def optimize_profile(nb: int, mb: int, alpha: float = 0.8125,
             cur, cur_t = cand, t
             if verbose:
                 print(f"  step {step}: threshold {cur_t:.4f} profile {cur}")
+    # The search brackets were clipped around the incumbent for speed; an
+    # accepted candidate whose true threshold exceeds the clip stores the
+    # truncated value.  Re-measure the winner on the full bracket (round-1
+    # advisor finding).
+    cur_t = de_threshold(cur, mb, alpha, bins=bins, max_iters=max_iters)
     return cur, cur_t
+
+
+# ---------------------------------------------------------------------------
+# Protograph (multi-edge-type) density evolution — the production design tool
+# ---------------------------------------------------------------------------
+
+class ProtographDE:
+    """Per-base-edge min-sum density evolution on the BSC.
+
+    Why this exists (round-2 finding): qtpu codes are QC lifts of a small
+    base graph.  The *unconditioned* irregular ensemble with the same degree
+    profile can be drastically worse than the protograph ensemble the
+    constructor actually samples — e.g. the native2 mb=13/nb=32 profile has a
+    profile-DE fixed-point floor (~1e-3 residual error at 4% QBER, threshold
+    2.4%) while its lifted realization measures a 6.25% FER<=5% ceiling at
+    n=16384.  Protograph DE tracks one density per base EDGE, so slot-specific
+    message quality (a check mixing one weak degree-2 input with strong
+    high-degree inputs) is modeled exactly; it converges to the structured
+    ensemble's true asymptotics as z → ∞.
+
+    Numerics: densities on a signed LLR grid of 2*bins+1 points.  Variable
+    updates are exact pmf convolutions via f64 FFT on a padded grid with ONE
+    saturation at the end (roundoff ≲ 1e-12, folded into bins ≥ 1e-12 mass).
+    Check updates use the exact min-sum order-statistics identity per slot:
+    with per-input magnitude tails F_e(m) = P(|X_e| >= m) and signed tails
+    S_e(m), the leave-one-out products give
+        P(min_{e'≠e} >= m, sign prod = +1) = (∏ F_{e'} + ∏ S_{e'}) / 2
+    and the output pmf falls out of first differences; alpha scaling re-bins
+    magnitudes (nonzero magnitudes clamped to stay nonzero).
+    """
+
+    def __init__(self, edge_row: np.ndarray, edge_col: np.ndarray,
+                 qber: float, alpha: float = 0.8125, bins: int = 256,
+                 max_llr_mult: float = 16.0):
+        assert 0.0 < qber < 0.5
+        self.q = float(qber)
+        self.alpha = float(alpha)
+        self.B = int(bins)
+        self.mag = float(np.log((1.0 - qber) / qber))
+        self.delta = max_llr_mult * self.mag / self.B
+        self.edge_row = np.asarray(edge_row, np.int64)
+        self.edge_col = np.asarray(edge_col, np.int64)
+        self.E = int(self.edge_row.shape[0])
+        self.mb = int(self.edge_row.max()) + 1
+        self.nb = int(self.edge_col.max()) + 1
+        self.col_slots = [np.flatnonzero(self.edge_col == j)
+                          for j in range(self.nb)]
+        self.row_slots = [np.flatnonzero(self.edge_row == i)
+                          for i in range(self.mb)]
+        B = self.B
+        self.ch = np.zeros(2 * B + 1)
+        kb = min(B, int(round(self.mag / self.delta)))
+        self.ch[B + kb] = 1.0 - self.q
+        self.ch[B - kb] = self.q
+        m = np.arange(B + 1)
+        self.alpha_map = np.floor(self.alpha * m).astype(np.int64)
+        self.alpha_map[1:] = np.maximum(self.alpha_map[1:], 1)
+        # FFT plan per column degree: product of d pmfs (ch + d-1 messages)
+        # has support d*2B+1; one shared padded length per degree.
+        self._fftlen = {}
+
+    def _fft_len(self, nfactors: int) -> int:
+        if nfactors not in self._fftlen:
+            need = nfactors * 2 * self.B + 1
+            self._fftlen[nfactors] = 1 << (need - 1).bit_length()
+        return self._fftlen[nfactors]
+
+    def _saturate(self, full: np.ndarray, nfactors: int) -> np.ndarray:
+        """Fold a length-(nfactors*2B+1)+pad conv result onto the ±B grid."""
+        B = self.B
+        c = nfactors * B  # index of LLR 0
+        out = full[c - B: c + B + 1].copy()
+        out[0] += full[: c - B].sum()
+        out[-1] += full[c + B + 1: nfactors * 2 * B + 1].sum()
+        np.maximum(out, 0.0, out=out)  # FFT roundoff can go -1e-17
+        s = out.sum()
+        return out / s if s > 0 else out
+
+    def var_update(self, c2v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """v2c[e] = saturate(ch ⊛ (⊛_{e' in col(e), e'≠e} c2v[e'])).
+
+        Also returns the per-column POSTERIOR bit-error probabilities
+        P(ch + Σ_all c2v < 0) + P(== 0)/2 — the quantity that decides frame
+        errors.  Message densities on weak edge classes (degree-2 chains)
+        retain a genuine fixed-point floor while the posterior converges to
+        ~0; gating on messages wildly underestimates thresholds (round-2
+        finding: native2 mb=13 measures a 6.25% ceiling; the message-error
+        gate says 1.2%).
+        """
+        B = self.B
+        v2c = np.empty_like(c2v)
+        post_err = np.empty(self.nb)
+        for j, slots in enumerate(self.col_slots):
+            d = len(slots)
+            L = self._fft_len(d)
+            fs = np.fft.rfft(c2v[slots], L, axis=-1)
+            chf = np.fft.rfft(self.ch, L)
+            # Leave-one-out products via prefix/suffix (d is tiny).
+            pre = np.empty_like(fs)
+            suf = np.empty_like(fs)
+            run = chf
+            for k in range(d):
+                pre[k] = run
+                run = run * fs[k]
+            run = np.ones(fs.shape[-1], np.complex128)
+            for k in range(d - 1, -1, -1):
+                suf[k] = run
+                run = run * fs[k]
+            full = np.fft.irfft(pre * suf, L, axis=-1)
+            for k, e in enumerate(slots):
+                v2c[e] = self._saturate(full[k], d)
+            # Posterior: product of ALL d message factors and the channel.
+            # Support (d+1)*2B+1 exceeds L for power-of-two overshoot margins
+            # only when d*2B+1 was already ~L; use the dedicated length.
+            Lp = self._fft_len(d + 1)
+            if Lp == L:
+                pf = pre[d - 1] * fs[d - 1]
+            else:
+                fs2 = np.fft.rfft(c2v[slots], Lp, axis=-1)
+                pf = np.fft.rfft(self.ch, Lp)
+                for k in range(d):
+                    pf = pf * fs2[k]
+            fullp = np.fft.irfft(pf, Lp)
+            c = (d + 1) * B
+            neg = fullp[:c]
+            post_err[j] = max(0.0, neg.sum()) + 0.5 * max(0.0, fullp[c])
+        return v2c, post_err
+
+    def chk_update(self, v2c: np.ndarray) -> np.ndarray:
+        """Exact normalized-min-sum check update, per base edge."""
+        B = self.B
+        # Per-edge magnitude pmf f (0..B) and signed pmf s; sign(0) = +1.
+        p_pos = v2c[:, B:].copy()
+        p_neg = np.zeros((self.E, B + 1))
+        p_neg[:, 1:] = v2c[:, B - 1:: -1]
+        f = p_pos + p_neg
+        sgn = p_pos - p_neg
+        # Tail sums over magnitude >= m (index 0..B; [B+1] = 0).
+        F = np.concatenate([np.cumsum(f[:, ::-1], axis=1)[:, ::-1],
+                            np.zeros((self.E, 1))], axis=1)
+        S = np.concatenate([np.cumsum(sgn[:, ::-1], axis=1)[:, ::-1],
+                            np.zeros((self.E, 1))], axis=1)
+        out = np.zeros((self.E, 2 * B + 1))
+        for slots in self.row_slots:
+            d = len(slots)
+            Fx, Sx = F[slots], S[slots]
+            pre_f = np.empty_like(Fx); suf_f = np.empty_like(Fx)
+            pre_s = np.empty_like(Sx); suf_s = np.empty_like(Sx)
+            rf = np.ones(B + 2); rs = np.ones(B + 2)
+            for k in range(d):
+                pre_f[k], pre_s[k] = rf, rs
+                rf = rf * Fx[k]
+                rs = rs * Sx[k]
+            rf = np.ones(B + 2); rs = np.ones(B + 2)
+            for k in range(d - 1, -1, -1):
+                suf_f[k], suf_s[k] = rf, rs
+                rf = rf * Fx[k]
+                rs = rs * Sx[k]
+            Fo = pre_f * suf_f   # ∏_{e'≠e} F_{e'}, per slot
+            So = pre_s * suf_s
+            Tp = 0.5 * (Fo + So)
+            Tm = 0.5 * (Fo - So)
+            pp = Tp[:, :-1] - Tp[:, 1:]   # P(min == m, sign +), m = 0..B
+            pm = Tm[:, :-1] - Tm[:, 1:]
+            for k, e in enumerate(slots):
+                qp = np.bincount(self.alpha_map, weights=pp[k], minlength=B + 1)
+                qm = np.bincount(self.alpha_map, weights=pm[k], minlength=B + 1)
+                o = out[e]
+                o[B:] += qp
+                o[B - 1:: -1] += qm[1:]
+                o[B] += qm[0]          # -0 == +0
+                t = o.sum()
+                if t > 0:
+                    o /= t
+        return out
+
+    def run(self, max_iters: int = 300,
+            target: float = 3e-6) -> tuple[bool, int]:
+        """Evolve to (converged, iterations).
+
+        Convergence = mean per-column posterior bit error < ``target``.
+        target ≈ (acceptable residual errors per block) / n in the finite
+        regime the design serves — 3e-6 ≈ 0.05 expected raw errors for
+        n = 16384, matching the FER<=5% calibration gate; the empirical
+        calibration (qtpu.ldpc.calibrate) remains the ground truth.
+        Stall exit: no relative progress on the posterior for 12 iterations.
+        """
+        c2v = np.zeros((self.E, 2 * self.B + 1))
+        c2v[:, self.B] = 1.0
+        prev = 1.0
+        stall = 0
+        for it in range(1, max_iters + 1):
+            v2c, post = self.var_update(c2v)
+            c2v = self.chk_update(v2c)
+            e = float(post.mean())
+            if e < target:
+                return True, it
+            if e > prev * (1.0 - 1e-4):
+                stall += 1
+                if stall >= 12:
+                    return False, it
+            else:
+                stall = 0
+            prev = e
+        return False, max_iters
+
+
+def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
+                        bins: int = 256, max_iters: int = 300,
+                        rounds: int = 300, seed: int = 11,
+                        max_deg: Optional[int] = None,
+                        init: Optional[tuple[np.ndarray, np.ndarray]] = None,
+                        target: float = 3e-6,
+                        verbose: bool = False
+                        ) -> tuple[np.ndarray, np.ndarray, float]:
+    """Hill-climb the base GRAPH (not just the degree profile) for the best
+    protograph-DE threshold.
+
+    Moves (random, deterministic from ``seed``):
+      * rewire (60%): move one edge to a different row (simplicity kept);
+      * add    (20%): grow a column of degree < max_deg by one edge;
+      * remove (20%): shrink a column of degree > 2 by one edge.
+    Accept on strictly better threshold (one DE-grid step).  The search
+    bracket is clipped around the incumbent for speed; the winner is
+    re-measured on the full bracket before returning.
+
+    Returns (edge_row, edge_col, threshold).
+    """
+    cap = min(mb, max_deg if max_deg is not None else 12)
+    rng = np.random.default_rng(seed)
+    if init is None:
+        from qtpu.ldpc.codes import irregular_profile_v2, make_irregular_code
+        prof = [min(d, cap) for d in irregular_profile_v2(nb, mb)]
+        c = make_irregular_code(nb * 8, prof, mb=mb, z=8, seed=int(seed))
+        rows, cols = c.edge_row.astype(np.int64), c.edge_col.astype(np.int64)
+    else:
+        rows, cols = (np.asarray(init[0], np.int64),
+                      np.asarray(init[1], np.int64))
+
+    def col_deg(rows_, cols_, j):
+        return int(np.sum(cols_ == j))
+
+    def has_edge(rows_, cols_, i, j):
+        return bool(np.any((rows_ == i) & (cols_ == j)))
+
+    def propose(rows_, cols_):
+        rows_, cols_ = rows_.copy(), cols_.copy()
+        kind = rng.choice(["rewire", "rewire", "rewire", "add", "remove"])
+        if kind == "rewire":
+            for _ in range(50):
+                e = int(rng.integers(0, len(rows_)))
+                j = int(cols_[e])
+                r_new = int(rng.integers(0, mb))
+                if r_new != int(rows_[e]) and not has_edge(rows_, cols_, r_new, j):
+                    rows_[e] = r_new
+                    return rows_, cols_
+            return None
+        if kind == "add":
+            for _ in range(50):
+                j = int(rng.integers(0, nb))
+                if col_deg(rows_, cols_, j) >= cap:
+                    continue
+                r_new = int(rng.integers(0, mb))
+                if not has_edge(rows_, cols_, r_new, j):
+                    return (np.append(rows_, r_new), np.append(cols_, j))
+            return None
+        # remove
+        for _ in range(50):
+            e = int(rng.integers(0, len(rows_)))
+            j = int(cols_[e])
+            i = int(rows_[e])
+            if col_deg(rows_, cols_, j) <= 2:
+                continue
+            if int(np.sum(rows_ == i)) <= 2:   # keep every check useful
+                continue
+            keep = np.ones(len(rows_), bool)
+            keep[e] = False
+            return rows_[keep], cols_[keep]
+        return None
+
+    cur_t = proto_threshold(rows, cols, alpha, bins=bins,
+                            max_iters=max_iters, target=target)
+    if verbose:
+        print(f"init nb={nb} mb={mb}: threshold {cur_t:.4f} E={len(rows)}",
+              flush=True)
+    for step in range(rounds):
+        cand = propose(rows, cols)
+        if cand is None:
+            continue
+        t = proto_threshold(cand[0], cand[1], alpha, bins=bins,
+                            max_iters=max_iters, target=target,
+                            lo=max(0.005, cur_t - 0.0075),
+                            hi=min(0.14, cur_t + 0.0125))
+        if t > cur_t + 1e-5:
+            rows, cols = cand
+            cur_t = t
+            if verbose:
+                print(f"  step {step}: threshold {cur_t:.4f} E={len(rows)}",
+                      flush=True)
+    cur_t = proto_threshold(rows, cols, alpha, bins=bins,
+                            max_iters=max_iters, target=target)
+    return rows, cols, cur_t
+
+
+def proto_threshold(edge_row: np.ndarray, edge_col: np.ndarray,
+                    alpha: float = 0.8125, lo: float = 0.005, hi: float = 0.14,
+                    tol: float = 2.5e-4, bins: int = 256,
+                    max_iters: int = 300, target: float = 3e-6) -> float:
+    """Largest BSC error rate where protograph DE converges (bisection)."""
+    if ProtographDE(edge_row, edge_col, hi, alpha, bins).run(max_iters, target)[0]:
+        return hi
+    if not ProtographDE(edge_row, edge_col, lo, alpha, bins).run(max_iters, target)[0]:
+        return 0.0
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        ok, _ = ProtographDE(edge_row, edge_col, mid, alpha, bins).run(
+            max_iters, target)
+        if ok:
+            lo = mid
+        else:
+            hi = mid
+    return lo

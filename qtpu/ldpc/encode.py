@@ -10,8 +10,6 @@ the trailing (lane) axis.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,11 +50,6 @@ def make_batch_encoder(code: QCCode):
         return _from_internal(jnp.stack(syn))  # (B, m)
 
     return encode
-
-
-@functools.lru_cache(maxsize=8)
-def _cached_encoder(code_id: int):
-    raise RuntimeError("internal: use make_batch_encoder directly")
 
 
 def encode_syndrome_batch(code: QCCode, bits: np.ndarray) -> np.ndarray:

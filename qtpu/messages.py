@@ -138,22 +138,28 @@ class Syndromes(Message):
 class VerifyAck(Message):
     """Bob's per-block verification results (True = hashes matched).
 
-    ``round`` distinguishes the initial ack (0) from post-retry acks."""
+    ``round`` distinguishes the initial ack (0) from post-retry acks.
+    ``next_test_bits``: how many QBER test bits Bob wants disclosed for the
+    next window (adaptive disclosure — scales with his post-decode prior's
+    effective sample size; 0 = no request, keep the current size)."""
     num_blocks: int
     ok_mask: np.ndarray  # (B,) uint8
     round: int = 0
+    next_test_bits: int = 0
     TYPE: ClassVar[MsgType] = MsgType.VERIFY_ACK
 
     def payload_bytes(self) -> bytes:
-        return (struct.pack("<II", self.num_blocks, self.round)
+        return (struct.pack("<III", self.num_blocks, self.round,
+                            self.next_test_bits)
                 + pack_bits(self.ok_mask).tobytes())
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "VerifyAck":
-        b, rnd = struct.unpack_from("<II", data)
-        words = np.frombuffer(data[8:], np.uint32)
+        b, rnd, nxt = struct.unpack_from("<III", data)
+        words = np.frombuffer(data[12:], np.uint32)
         return cls(window_id=window_id, num_blocks=b,
-                   ok_mask=unpack_bits(words, b), round=rnd)
+                   ok_mask=unpack_bits(words, b), round=rnd,
+                   next_test_bits=nxt)
 
 
 @dataclasses.dataclass

@@ -80,7 +80,12 @@ class PipelineConfig:
     # make_rate_ladder default target rates).
     target_rates: tuple = (0.5, 0.6, 0.7, 0.8, 0.875)
     blocks_per_window: int = 16
-    qber_test_bits: int = 2048       # disclosed per window
+    qber_test_bits: int = 2048       # disclosed per window (max, see floor)
+    # Adaptive disclosure: once the post-decode prior is warm, Bob requests
+    # only enough fresh test bits to keep the UCB inflation under budget,
+    # never fewer than this floor (drift detection).  Set equal to
+    # qber_test_bits to disable adaptivity.
+    qber_test_floor: int = 512
     qber_segment_bits: int = 8192    # test bits sampled from this much stream
     max_iters: int = 60
     alg: str = "layered"   # row-layered min-sum: best thresholds + speed
@@ -253,15 +258,18 @@ class _Party:
         return np.asarray(pa_mod.toeplitz_hash_fft(
             t, jnp.asarray(payload), self.config.verify_hash_bits))
 
-    def _final_length(self, rate_index: int, p_bits: int) -> int:
+    def _final_length(self, rate_index: int, p_bits: int,
+                      qber_bits: int) -> int:
+        """qber_bits: the window's ACTUAL disclosure (adaptive — both parties
+        know it from the QberDisclose message, amortized over the blocks)."""
         step = self.ladder.steps[rate_index]
-        qber_amort = -(-self.config.qber_test_bits // self.config.blocks_per_window)
+        qber_amort = -(-qber_bits // self.config.blocks_per_window)
         return pa_mod.final_key_length(
             p_bits, step.leaked_bits(), qber_amort,
             self.config.verify_hash_bits, self.config.security_margin_bits)
 
     def _privacy_amplify(self, payload: np.ndarray, ok_mask: np.ndarray,
-                         rate_index: int, window_id: int,
+                         rate_index: int, window_id: int, qber_bits: int,
                          extra_leak: Optional[np.ndarray] = None) -> int:
         """Hash ok blocks to final keys; returns total final bits.
 
@@ -271,7 +279,7 @@ class _Party:
         """
         B = self.config.blocks_per_window
         p_bits = payload.shape[1]
-        l_base = self._final_length(rate_index, p_bits)
+        l_base = self._final_length(rate_index, p_bits, qber_bits)
         if l_base == 0:
             return 0
         if extra_leak is None:
@@ -321,10 +329,10 @@ class _Party:
         out, self.buffer = self.buffer[:count], self.buffer[count:]
         return out
 
-    def _qber_positions(self, window_id: int) -> np.ndarray:
-        key = prng.derive(self.session, "qber", window_id)
-        return np.asarray(prng.subset_indices(
-            key, self.config.qber_segment_bits, self.config.qber_test_bits))
+    def _qber_positions(self, window_id: int, count: int) -> np.ndarray:
+        from qtpu.qber import test_positions
+        return test_positions(self.session, window_id,
+                              self.config.qber_segment_bits, count)
 
     def final_key_bits(self) -> np.ndarray:
         if not self.final_key_words:
@@ -369,6 +377,9 @@ class AliceSession(_Party):
         self.link = link
         self._private = np.random.default_rng(private_seed)  # punctured-bit fill
         self._inflight: dict[int, dict] = {}
+        # Adaptive QBER disclosure: Bob's VerifyAck carries the size he wants
+        # for the next window; cold sessions use the configured maximum.
+        self._next_test_bits = config.qber_test_bits
 
     def can_start_window(self) -> bool:
         # Worst case payload need: the highest-rate step (most puncturing) has
@@ -379,13 +390,14 @@ class AliceSession(_Party):
     def start_window(self) -> None:
         """Step 1: disclose QBER test bits for this window."""
         w = self.window_id
+        k = self._next_test_bits
         seg = self._take(self.config.qber_segment_bits)
-        pos = self._qber_positions(w)
+        pos = self._qber_positions(w, k)
         test = seg[pos]
         keep = np.delete(seg, pos)  # both parties delete the same positions
         self.buffer = np.concatenate([keep, self.buffer])
         self.ledger.add(qber_test_bits=len(test))
-        self._inflight[w] = {"stage": "qber_sent"}
+        self._inflight[w] = {"stage": "qber_sent", "qber_bits": k}
         self.link.send(QberDisclose(window_id=w, num_bits=len(test), bits=test))
 
     def on_message(self, msg: Message) -> None:
@@ -450,6 +462,10 @@ class AliceSession(_Party):
         if msg.round != rounds:
             self._inflight[w] = st  # replayed ack from an earlier round
             return
+        if msg.next_test_bits > 0:
+            self._next_test_bits = int(np.clip(
+                msg.next_test_bits, self.config.qber_test_floor,
+                self.config.qber_test_bits))
         ok = msg.ok_mask.astype(bool)
         payload = st["payload"]
         r = st["rate_index"]
@@ -474,7 +490,8 @@ class AliceSession(_Party):
                 failed_mask=failed.astype(np.uint8), bits=bits))
             return
 
-        final = self._privacy_amplify(payload, ok, r, w, extra_leak=extra)
+        final = self._privacy_amplify(payload, ok, r, w, st["qber_bits"],
+                                      extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
                         discarded_bits=int((~ok).sum()) * p_bits,
                         final_bits=final, blocks_ok=int(ok.sum()),
@@ -489,19 +506,25 @@ class BobSession(_Party):
         super().__init__(config, session_seed)
         self.link = link
         self._inflight: dict[int, dict] = {}
-        # Post-decode QBER prior (Bob-internal; no wire or ledger impact).
-        self._prior_errs = 0.0
-        self._prior_n = 0.0
+        # Post-decode QBER estimator (Bob-internal prior; the only wire
+        # impact is the adaptive next_test_bits request on VerifyAck).
+        from qtpu.qber import QberEstimator
+        self.qest = QberEstimator(halflife=config.qber_prior_halflife,
+                                  max_n=float(config.qber_prior_max_n))
+
+    def _next_test_request(self) -> int:
+        return self.qest.request_bits(self.config.qber_test_floor,
+                                      self.config.qber_test_bits)
 
     def checkpoint_state(self) -> dict:
         state = super().checkpoint_state()
-        state["qber_prior"] = [self._prior_errs, self._prior_n]
+        state["qber_prior"] = self.qest.state()
         return state
 
     def restore_state(self, state: dict) -> None:
         super().restore_state(state)
         # Missing on old checkpoints / Alice-side states: cold prior re-warms.
-        self._prior_errs, self._prior_n = state.get("qber_prior", [0.0, 0.0])
+        self.qest.restore(state.get("qber_prior", [0.0, 0.0]))
 
     def on_message(self, msg: Message) -> None:
         from qtpu.messages import RetryDisclose
@@ -528,32 +551,29 @@ class BobSession(_Party):
         w = msg.window_id
         if w in self._inflight:
             return  # duplicate disclose
+        k = msg.num_bits   # adaptive: Alice's disclosure sets the size
         seg = self._take(self.config.qber_segment_bits)
-        pos = self._qber_positions(w)
+        pos = self._qber_positions(w, k)
         mine = seg[pos]
         keep = np.delete(seg, pos)
         self.buffer = np.concatenate([keep, self.buffer])
         self.ledger.add(qber_test_bits=len(mine))
         mism = int((mine ^ msg.bits).sum())
-        # Combine the disclosed test bits with the post-decode prior (exact
-        # error counts of previously verified blocks, decayed for drift).
-        q = (mism + self._prior_errs + 0.5) / (len(mine) + self._prior_n + 1.0)
-        n_eff = len(mine) + self._prior_n
-        # Select against the upper confidence bound: a 2-sigma underestimate
-        # of the true QBER must not push us past a rung's measured ceiling.
-        q_ucb = q + 2.0 * float(np.sqrt(q * (1 - q) / max(1.0, n_eff)))
+        # Combine the disclosed test bits with the post-decode prior; select
+        # against the upper confidence bound so an underestimated QBER can't
+        # cross a rung's measured ceiling.
+        q, q_ucb = self.qest.estimate(mism, len(mine))
         if self.config.fine_rate_adaptation:
             overhead = (self.config.verify_hash_bits
                         + self.config.security_margin_bits
-                        + -(-self.config.qber_test_bits
-                            // self.config.blocks_per_window))
+                        + -(-k // self.config.blocks_per_window))
             r, s = self.ladder.select_fine(
                 q_ucb, granularity=self.config.short_granularity,
                 efficiency=self.config.efficiency, overhead_bits=overhead)
         else:
             r, s = self.ladder.select(q_ucb, self.config.efficiency), 0
         self._inflight[w] = {"stage": "rate_sent", "qber": q, "rate_index": r,
-                             "short_bits": s}
+                             "short_bits": s, "qber_bits": k}
         self.link.send(RateSelect(window_id=w, qber_milli=int(round(q * 1000)),
                                   rate_index=r, short_bits=s))
 
@@ -600,11 +620,13 @@ class BobSession(_Party):
             # Keep the window in flight awaiting Alice's retry disclosure.
             self._inflight[w] = st
             self.link.send(VerifyAck(window_id=w, num_blocks=B,
-                                     ok_mask=ok.astype(np.uint8), round=0))
+                                     ok_mask=ok.astype(np.uint8), round=0,
+                                     next_test_bits=self._next_test_request()))
             return
         self._finalize_window(w, st)
         self.link.send(VerifyAck(window_id=w, num_blocks=B,
-                                 ok_mask=ok.astype(np.uint8), round=0))
+                                 ok_mask=ok.astype(np.uint8), round=0,
+                                 next_test_bits=self._next_test_request()))
 
     def _on_retry(self, msg) -> None:
         w = msg.window_id
@@ -647,32 +669,23 @@ class BobSession(_Party):
             self._inflight[w] = st
             self.link.send(VerifyAck(window_id=w, num_blocks=B,
                                      ok_mask=ok.astype(np.uint8),
-                                     round=st["round"]))
+                                     round=st["round"],
+                                     next_test_bits=self._next_test_request()))
             return
         self._finalize_window(w, st)
         self.link.send(VerifyAck(window_id=w, num_blocks=B,
                                  ok_mask=ok.astype(np.uint8),
-                                 round=st["round"]))
+                                 round=st["round"],
+                                 next_test_bits=self._next_test_request()))
 
     def _update_qber_prior(self, st: dict) -> None:
         """Fold the exact error counts of this window's verified blocks into
         the decaying QBER prior (free information: corrected vs received)."""
-        hl = self.config.qber_prior_halflife
-        if hl <= 0:
-            return
         ok = st["ok"]
         if not ok.any():
             return
         diff = st["payload_hat"][ok] != st["payload_rx"][ok]
-        errs, bits = float(diff.sum()), float(diff.size)
-        decay = 0.5 ** (1.0 / hl)
-        self._prior_errs = self._prior_errs * decay + errs
-        self._prior_n = self._prior_n * decay + bits
-        cap = float(self.config.qber_prior_max_n)
-        if self._prior_n > cap:
-            scale = cap / self._prior_n
-            self._prior_errs *= scale
-            self._prior_n = cap
+        self.qest.update_prior(float(diff.sum()), float(diff.size))
 
     def _finalize_window(self, w: int, st: dict) -> None:
         r = st["rate_index"]
@@ -685,7 +698,8 @@ class BobSession(_Party):
         q = st["qber"]
         extra = st["extra_leak"]
         p_bits = payload_hat.shape[1]
-        final = self._privacy_amplify(payload_hat, ok, r, w, extra_leak=extra)
+        final = self._privacy_amplify(payload_hat, ok, r, w, st["qber_bits"],
+                                      extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
                         discarded_bits=int((~ok).sum()) * p_bits,
                         final_bits=final, blocks_ok=int(ok.sum()),
@@ -696,7 +710,7 @@ class BobSession(_Party):
             blocks_ok=int(ok.sum()), iters_mean=float(iters.mean()),
             iters_max=int(iters.max()), payload_bits=p_bits * B,
             leaked_syndrome=step.leaked_bits() * B,
-            leaked_qber=self.config.qber_test_bits,
+            leaked_qber=st["qber_bits"],
             leaked_hash=self.config.verify_hash_bits * B,
             final_bits=final,
             blocks_retried=int((extra > 0).sum()),

@@ -134,7 +134,7 @@ def test_post_decode_qber_prior_tightens():
     b_bits = a_bits ^ (rng.random(N) < q).astype(np.uint8)
     a, b = run_loopback(cfg, a_bits, b_bits)
     assert len(b.metrics) >= 3
-    assert b._prior_n > 1000, "prior never accumulated"
+    assert b.qest._n > 1000, "prior never accumulated"
     # Later windows' combined estimate uses thousands of exact error counts:
     # it must sit within 1% absolute of the true QBER.
     late = [m.qber_est for m in b.metrics[2:]]
@@ -149,5 +149,5 @@ def test_qber_prior_disabled():
     a_bits = rng.integers(0, 2, 30_000).astype(np.uint8)
     b_bits = a_bits ^ (rng.random(30_000) < 0.02).astype(np.uint8)
     a, b = run_loopback(cfg, a_bits, b_bits)
-    assert b._prior_n == 0.0
+    assert b.qest._n == 0.0
     np.testing.assert_array_equal(a.final_key_bits(), b.final_key_bits())

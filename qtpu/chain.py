@@ -117,7 +117,9 @@ class BobChain:
     def pump(self) -> bool:
         msg = self.link.recv()
         if msg is None:
-            return False
+            # Link drained: resolve any deferred decodes (their acks unblock
+            # Alice's next windows).
+            return self.ec.flush()
         self._dispatch(msg)
         return True
 
@@ -128,6 +130,7 @@ class BobChain:
             self.ec.on_message(msg)
 
     def idle(self) -> bool:
+        self.ec.flush()
         return not self._pending_timing and not self.ec._inflight
 
     def _on_timing(self, msg: TimingBasis) -> None:

@@ -117,6 +117,10 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
         while True:
             msg = link.recv(timeout=0.05)
             if msg is None:
+                # Resolve deferred decodes before going back to acquisition
+                # (their acks unblock the peer's next windows).
+                if getattr(chain.ec, "flush", lambda: False)():
+                    continue
                 break
             dbg("window-loop got", type(msg).__name__, msg.window_id)
             chain._dispatch(msg)
@@ -139,6 +143,8 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
         except (ConnectionError, OSError):
             break  # peer closed after its bye — session over
         if msg is None:
+            if getattr(chain.ec, "flush", lambda: False)():
+                continue
             waited += 1
             # Stalled in-flight windows (lost message / wedged peer): Alice
             # aborts them after a long quiet spell so the stream cursor can

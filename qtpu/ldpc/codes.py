@@ -350,6 +350,61 @@ def make_irregular_code(n: int, col_degrees: Sequence[int], mb: int,
     return code
 
 
+def _fix_deg2_cycle_shifts(edge_row: np.ndarray, edge_col: np.ndarray,
+                           shifts: np.ndarray, z: int) -> np.ndarray:
+    """Give every fundamental cycle of the degree-2 subgraph an ODD shift sum.
+
+    Degree-2 base columns form a multigraph on the check rows (each column =
+    one row-row edge carrying weight shift(e1) - shift(e2)).  A base cycle of
+    degree-2 columns lifts to circulant cycles whose length multiplies by the
+    order of the cycle's shift sum in Z_z; a zero sum would lift to z
+    length-L codewords of weight L.  With z a power of two, an ODD sum has
+    order z, so the lifted cycle has weight L*z — harmless.  Processing each
+    non-tree edge of a spanning forest independently fixes exactly its own
+    fundamental cycle (composite cycles have base length >= 6 by the design
+    constraint, and even-sum composites still lift to weight >= 2L — beyond
+    the error-floor horizon at the operating QBERs).  This is what makes
+    dense degree-2 profiles (the capacity-approaching regime) safe for the
+    QC construction — the round-1 'at most mb-1 degree-2 columns' rule is
+    obsolete."""
+    if z % 2 != 0:
+        return shifts
+    shifts = shifts.copy()
+    by_col: dict[int, list[int]] = {}
+    for e in range(len(edge_row)):
+        by_col.setdefault(int(edge_col[e]), []).append(e)
+    parent = list(range(int(edge_row.max()) + 1))
+    pot = [0] * len(parent)   # shift-sum potential to the root
+
+    def find(x):
+        path = []
+        while parent[x] != x:
+            path.append(x)
+            x = parent[x]
+        s = 0
+        for y in reversed(path):
+            s += pot[y]
+            pot[y] = s
+            parent[y] = x
+        return x
+
+    for j, es in sorted(by_col.items()):
+        if len(es) != 2:
+            continue
+        e1, e2 = es
+        r1, r2 = int(edge_row[e1]), int(edge_row[e2])
+        w = int(shifts[e1]) - int(shifts[e2])     # traversal r1 -> j -> r2
+        ra, rb = find(r1), find(r2)
+        if ra != rb:                               # tree edge
+            parent[ra] = rb
+            pot[ra] = -pot[r1] + w + pot[r2]
+        else:                                      # closes a fundamental cycle
+            cyc = pot[r1] + w - pot[r2]
+            if cyc % 2 == 0:
+                shifts[e1] = (int(shifts[e1]) + 1) % z
+    return shifts
+
+
 def make_qc_from_base(edge_row: Sequence[int], edge_col: Sequence[int],
                       mb: int, nb: int, z: int, seed: int = 0x1BBE) -> QCCode:
     """Lift an EXPLICIT base graph (edge list) into a QC code.
@@ -357,13 +412,15 @@ def make_qc_from_base(edge_row: Sequence[int], edge_col: Sequence[int],
     Used for density-evolution-DESIGNED base graphs (qtpu.ldpc.design.
     optimize_base_graph → qtpu.ldpc.designed): the protograph itself is
     protocol configuration; only the circulant shifts are sampled here
-    (deterministically from ``seed``) with lifted-4-cycle breaking.
+    (deterministically from ``seed``) with lifted-4-cycle breaking and
+    odd-sum degree-2 cycle repair (see _fix_deg2_cycle_shifts).
     """
     rows = np.asarray(edge_row, np.int32)
     cols = np.asarray(edge_col, np.int32)
     rng = np.random.default_rng(seed)
     shifts = rng.integers(0, z, size=len(rows)).astype(np.int32)
     shifts = _break_base_4cycles(rows, cols, shifts, z, rng)
+    shifts = _fix_deg2_cycle_shifts(rows, cols, shifts, z)
     code = QCCode(
         z=z, mb=mb, nb=nb,
         edge_row=rows, edge_col=cols,

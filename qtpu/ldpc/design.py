@@ -305,7 +305,8 @@ class ProtographDE:
 
     def __init__(self, edge_row: np.ndarray, edge_col: np.ndarray,
                  qber: float, alpha: float = 0.8125, bins: int = 256,
-                 max_llr_mult: float = 16.0):
+                 max_llr_mult: float = 16.0,
+                 punct_cols: tuple = ()):
         assert 0.0 < qber < 0.5
         self.q = float(qber)
         self.alpha = float(alpha)
@@ -326,6 +327,14 @@ class ProtographDE:
         kb = min(B, int(round(self.mag / self.delta)))
         self.ch[B + kb] = 1.0 - self.q
         self.ch[B - kb] = self.q
+        # Punctured protograph nodes (the AR4JA/5G-NR state-variable trick):
+        # their z variables carry transmitter-private random pad — decoder
+        # prior is a delta at LLR 0.  Crucial for near-capacity thresholds at
+        # high rates; the rate machinery credits their parities as unleaked
+        # (RateStep.leaked_bits = m - p).
+        self.punct = set(int(c) for c in punct_cols)
+        self.ch0 = np.zeros(2 * B + 1)
+        self.ch0[B] = 1.0
         m = np.arange(B + 1)
         self.alpha_map = np.floor(self.alpha * m).astype(np.int64)
         self.alpha_map[1:] = np.maximum(self.alpha_map[1:], 1)
@@ -368,7 +377,7 @@ class ProtographDE:
             d = len(slots)
             L = self._fft_len(d)
             fs = np.fft.rfft(c2v[slots], L, axis=-1)
-            chf = np.fft.rfft(self.ch, L)
+            chf = np.fft.rfft(self.ch0 if j in self.punct else self.ch, L)
             # Leave-one-out products via prefix/suffix (d is tiny).
             pre = np.empty_like(fs)
             suf = np.empty_like(fs)
@@ -391,7 +400,7 @@ class ProtographDE:
                 pf = pre[d - 1] * fs[d - 1]
             else:
                 fs2 = np.fft.rfft(c2v[slots], Lp, axis=-1)
-                pf = np.fft.rfft(self.ch, Lp)
+                pf = np.fft.rfft(self.ch0 if j in self.punct else self.ch, Lp)
                 for k in range(d):
                     pf = pf * fs2[k]
             fullp = np.fft.irfft(pf, Lp)
@@ -463,10 +472,13 @@ class ProtographDE:
         c2v[:, self.B] = 1.0
         prev = 1.0
         stall = 0
+        # Frame errors count PAYLOAD mismatches only; punctured columns carry
+        # discarded pad bits, so they are excluded from the gate.
+        pay = np.asarray([j for j in range(self.nb) if j not in self.punct])
         for it in range(1, max_iters + 1):
             v2c, post = self.var_update(c2v)
             c2v = self.chk_update(v2c)
-            e = float(post.mean())
+            e = float(post[pay].mean())
             if e < target:
                 return True, it
             if e > prev * (1.0 - 1e-4):
@@ -479,12 +491,63 @@ class ProtographDE:
         return False, max_iters
 
 
+def capacity_init_graph(nb: int, mb: int, seed: int = 5,
+                        max_deg: int = 16,
+                        lam2: float = 0.24) -> tuple[np.ndarray, np.ndarray]:
+    """Capacity-informed initial base graph for optimize_base_graph.
+
+    Classic optimized irregular ensembles put ~lam2 of the EDGE mass on
+    degree-2 variables, a small degree-3/4 body, and a high-degree tail; the
+    v2 profiles (capped at mb-1 degree-2 columns) can't reach that regime,
+    which is exactly what the odd-shift-sum lift repair unlocks.  Rows are
+    balanced; degree-2 row pairs are kept distinct.
+    """
+    cap = min(mb, max_deg)
+    rng = np.random.default_rng(seed)
+    ntail = max(2, nb // 20)
+    # Solve n2 from the target edge fraction with a deg-3 body.
+    body = nb - ntail
+    n2 = int(round(lam2 * (3 * body + cap * ntail) / (2 + lam2)))
+    n2 = min(n2, body - 1)
+    prof = [2] * n2 + [3] * (body - n2) + [cap] * ntail
+    E = sum(prof)
+    q, r = divmod(E, mb)
+    row_cap = np.asarray([q + 1] * r + [q] * (mb - r), np.int64)
+    rows_out, cols_out = [], []
+    seen_pairs: set = set()
+    order = sorted(range(nb), key=lambda j: -prof[j])
+    for j in order:
+        d = prof[j]
+        for attempt in range(200):
+            pri = row_cap + rng.random(mb)
+            chosen = np.argsort(-pri)[:d]
+            if d == 2:
+                pair = tuple(sorted(int(x) for x in chosen))
+                if pair in seen_pairs:
+                    # Swap the second row for the next-best unseen one.
+                    for alt in np.argsort(-pri)[2:]:
+                        pair2 = tuple(sorted((int(chosen[0]), int(alt))))
+                        if pair2 not in seen_pairs:
+                            chosen = np.asarray([chosen[0], alt])
+                            pair = pair2
+                            break
+                    else:
+                        continue
+                seen_pairs.add(pair)
+            break
+        row_cap[chosen] -= 1
+        rows_out.extend(int(x) for x in chosen)
+        cols_out.extend([j] * d)
+    return np.asarray(rows_out, np.int64), np.asarray(cols_out, np.int64)
+
+
 def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
                         bins: int = 256, max_iters: int = 300,
                         rounds: int = 300, seed: int = 11,
                         max_deg: Optional[int] = None,
                         init: Optional[tuple[np.ndarray, np.ndarray]] = None,
                         target: float = 3e-6,
+                        num_punct: int = 0,
                         verbose: bool = False
                         ) -> tuple[np.ndarray, np.ndarray, float]:
     """Hill-climb the base GRAPH (not just the degree profile) for the best
@@ -498,13 +561,32 @@ def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
     bracket is clipped around the incumbent for speed; the winner is
     re-measured on the full bracket before returning.
 
+    Degree-2 mass is NOT capped at mb-1 (the round-1 profile rule): the QC
+    lift makes degree-2 base cycles harmless when their circulant shift sums
+    are odd (codes._fix_deg2_cycle_shifts), which unlocks the
+    capacity-approaching λ2 regime.  The only structural rule kept here is
+    that no two degree-2 columns may span the same row PAIR (a base length-4
+    degree-2 cycle — kept out so composite cycles stay long).  DE's posterior
+    gate rejects profiles past the stability limit on its own.
+
     Returns (edge_row, edge_col, threshold).
     """
-    cap = min(mb, max_deg if max_deg is not None else 12)
+    cap = min(mb, max_deg if max_deg is not None else 16)
     rng = np.random.default_rng(seed)
+    # Punctured protograph nodes (AR4JA-style): by convention the LAST
+    # num_punct columns; they carry private pad (channel = delta at 0) and
+    # want high degree, so their cap is the full mb.
+    punct = tuple(range(nb - num_punct, nb))
     if init is None:
         from qtpu.ldpc.codes import irregular_profile_v2, make_irregular_code
         prof = [min(d, cap) for d in irregular_profile_v2(nb, mb)]
+        # Punctured state nodes want high degree, but BP can only seed their
+        # recovery through checks touching exactly ONE punctured column: a
+        # single punctured column may span every row, while multiple must
+        # leave singly-covered checks (degree ~mb/2 each; with full degree
+        # every check would touch >= 2 unknowns and the threshold is 0).
+        for j in punct:
+            prof[j] = min(mb, 16) if num_punct == 1 else max(3, (mb + 1) // 2)
         c = make_irregular_code(nb * 8, prof, mb=mb, z=8, seed=int(seed))
         rows, cols = c.edge_row.astype(np.int64), c.edge_col.astype(np.int64)
     else:
@@ -517,6 +599,19 @@ def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
     def has_edge(rows_, cols_, i, j):
         return bool(np.any((rows_ == i) & (cols_ == j)))
 
+    def deg2_pairs_ok(rows_, cols_):
+        """No two degree-2 columns over the same row pair."""
+        seen = set()
+        for j in range(nb):
+            es = np.flatnonzero(cols_ == j)
+            if len(es) != 2:
+                continue
+            pair = tuple(sorted((int(rows_[es[0]]), int(rows_[es[1]]))))
+            if pair in seen:
+                return False
+            seen.add(pair)
+        return True
+
     def propose(rows_, cols_):
         rows_, cols_ = rows_.copy(), cols_.copy()
         kind = rng.choice(["rewire", "rewire", "rewire", "add", "remove"])
@@ -526,17 +621,22 @@ def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
                 j = int(cols_[e])
                 r_new = int(rng.integers(0, mb))
                 if r_new != int(rows_[e]) and not has_edge(rows_, cols_, r_new, j):
+                    old = rows_[e]
                     rows_[e] = r_new
-                    return rows_, cols_
+                    if deg2_pairs_ok(rows_, cols_):
+                        return rows_, cols_
+                    rows_[e] = old
             return None
         if kind == "add":
             for _ in range(50):
                 j = int(rng.integers(0, nb))
-                if col_deg(rows_, cols_, j) >= cap:
+                if col_deg(rows_, cols_, j) >= (mb if j in punct else cap):
                     continue
                 r_new = int(rng.integers(0, mb))
                 if not has_edge(rows_, cols_, r_new, j):
-                    return (np.append(rows_, r_new), np.append(cols_, j))
+                    out = (np.append(rows_, r_new), np.append(cols_, j))
+                    if deg2_pairs_ok(*out):
+                        return out
             return None
         # remove
         for _ in range(50):
@@ -549,20 +649,23 @@ def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
                 continue
             keep = np.ones(len(rows_), bool)
             keep[e] = False
-            return rows_[keep], cols_[keep]
+            if deg2_pairs_ok(rows_[keep], cols_[keep]):
+                return rows_[keep], cols_[keep]
         return None
 
     cur_t = proto_threshold(rows, cols, alpha, bins=bins,
-                            max_iters=max_iters, target=target)
+                            max_iters=max_iters, target=target,
+                            punct_cols=punct)
     if verbose:
-        print(f"init nb={nb} mb={mb}: threshold {cur_t:.4f} E={len(rows)}",
-              flush=True)
+        print(f"init nb={nb} mb={mb} p={num_punct}: threshold {cur_t:.4f} "
+              f"E={len(rows)}", flush=True)
     for step in range(rounds):
         cand = propose(rows, cols)
         if cand is None:
             continue
         t = proto_threshold(cand[0], cand[1], alpha, bins=bins,
                             max_iters=max_iters, target=target,
+                            punct_cols=punct,
                             lo=max(0.005, cur_t - 0.0075),
                             hi=min(0.14, cur_t + 0.0125))
         if t > cur_t + 1e-5:
@@ -572,24 +675,27 @@ def optimize_base_graph(nb: int, mb: int, alpha: float = 0.8125,
                 print(f"  step {step}: threshold {cur_t:.4f} E={len(rows)}",
                       flush=True)
     cur_t = proto_threshold(rows, cols, alpha, bins=bins,
-                            max_iters=max_iters, target=target)
+                            max_iters=max_iters, target=target,
+                            punct_cols=punct)
     return rows, cols, cur_t
 
 
 def proto_threshold(edge_row: np.ndarray, edge_col: np.ndarray,
                     alpha: float = 0.8125, lo: float = 0.005, hi: float = 0.14,
                     tol: float = 2.5e-4, bins: int = 256,
-                    max_iters: int = 300, target: float = 3e-6) -> float:
+                    max_iters: int = 300, target: float = 3e-6,
+                    punct_cols: tuple = ()) -> float:
     """Largest BSC error rate where protograph DE converges (bisection)."""
-    if ProtographDE(edge_row, edge_col, hi, alpha, bins).run(max_iters, target)[0]:
+    def run(q):
+        return ProtographDE(edge_row, edge_col, q, alpha, bins,
+                            punct_cols=punct_cols).run(max_iters, target)[0]
+    if run(hi):
         return hi
-    if not ProtographDE(edge_row, edge_col, lo, alpha, bins).run(max_iters, target)[0]:
+    if not run(lo):
         return 0.0
     while hi - lo > tol:
         mid = 0.5 * (lo + hi)
-        ok, _ = ProtographDE(edge_row, edge_col, mid, alpha, bins).run(
-            max_iters, target)
-        if ok:
+        if run(mid):
             lo = mid
         else:
             hi = mid

@@ -21,6 +21,17 @@ lane axis).  The per-window protocol needs exactly TWO round trips
     PA on ok blocks                         PA on ok blocks
     (identical final keys — all PA inputs derive from the shared session seed)
 
+Round-2 redesign for end-to-end device throughput: ALL per-window compute —
+framing scatter, syndrome encode, LLR assembly, decode, verification hashes,
+error counts, privacy amplification — runs in three fused jitted programs
+per ladder rung (qtpu.window_programs), compiled once per rung with static
+shapes.  Fine rate adaptation is a mask over a static-size payload vector
+(extra-shortened positions carry shared-PRNG fill; the final-key length
+subtracts them), so per-window shortening never recompiles.  Payloads stay
+device-resident between decode and PA.  Alice may pipeline several windows
+(``max_inflight_windows``) so host framing of window w+1 overlaps the
+device's decode of window w.
+
 Rate-step application (the round-1 verification finding): framing OWNS the
 puncture/shorten mechanics — payload bits only ever enter payload columns,
 punctured columns get Alice-private randomness (LLR 0 at Bob), shortened
@@ -41,11 +52,10 @@ from qtpu import pa as pa_mod
 from qtpu import prng
 from qtpu.accounting import Ledger
 from qtpu.ldpc.codes import QCCode, RateLadder, RateStep, make_rate_ladder
-from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
-from qtpu.ldpc.encode import make_batch_encoder
 from qtpu.link import LoopbackLink
 from qtpu.messages import (Abort, Message, MsgType, QberDisclose, RateSelect,
                            RetryDisclose, Syndromes, VerifyAck)
+from qtpu.window_programs import WindowPrograms, make_window_programs
 
 __all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback",
            "production_config"]
@@ -56,8 +66,8 @@ def production_config(**overrides) -> "PipelineConfig":
     n=16384 blocks on the 7-rung native2-family ladder (irregular_profile_v2
     mothers — calibrated 2026-08-19, +0.25-0.5% QBER ceiling over "native"
     on the 1-5% operating rungs), 64-block windows (1 Mbit of payload per
-    decode step), 8k QBER test bits per window.  Override any field via
-    kwargs."""
+    decode step), adaptive QBER disclosure (8k max / 512 floor).  Override
+    any field via kwargs."""
     from qtpu.ldpc.codes import PRODUCTION_RATES
     base = dict(n=16384, family="native2", target_rates=PRODUCTION_RATES,
                 blocks_per_window=64, qber_test_bits=8192,
@@ -111,6 +121,10 @@ class PipelineConfig:
     # shortening safety margin.  halflife is in windows; 0 disables.
     qber_prior_halflife: float = 4.0
     qber_prior_max_n: int = 65536    # cap on the prior's effective sample size
+    # Streaming overlap (PP): Alice starts up to this many windows before the
+    # previous ones complete, so host framing + link I/O of window w+1 hide
+    # under the device's decode of window w.
+    max_inflight_windows: int = 2
 
 
 @dataclasses.dataclass
@@ -156,27 +170,27 @@ class _Party:
         # application detect/align desyncs after asymmetric aborts.
         self.final_key_index: list[tuple[int, int]] = []
         self.metrics: list[WindowMetrics] = []
-        # Per-rate-step device programs, compiled lazily on first use.
-        self._encoders: dict[int, Callable] = {}
-        self._decoders: dict[int, Callable] = {}
+        # Per-rate-step fused device programs, compiled lazily on first use.
+        self._programs: dict[int, WindowPrograms] = {}
         # Static per-step position arrays (variable index space).
         self._step_positions: dict[int, dict] = {
             idx: self._positions_for(step)
             for idx, step in enumerate(self.ladder.steps)
         }
 
-    def _encoder(self, rate_index: int):
-        if rate_index not in self._encoders:
-            self._encoders[rate_index] = make_batch_encoder(
-                self.ladder.steps[rate_index].code)
-        return self._encoders[rate_index]
-
-    def _decoder(self, rate_index: int):
-        if rate_index not in self._decoders:
-            self._decoders[rate_index] = make_batch_decoder(
-                self.ladder.steps[rate_index].code, self.config.max_iters,
-                self.config.alg)
-        return self._decoders[rate_index]
+    def programs(self, rate_index: int) -> WindowPrograms:
+        if rate_index not in self._programs:
+            step = self.ladder.steps[rate_index]
+            pos = self._step_positions[rate_index]
+            P = int(pos["payload"].size)
+            l_max = max(0, P - step.leaked_bits()
+                        - self.config.verify_hash_bits
+                        - self.config.security_margin_bits)
+            self._programs[rate_index] = make_window_programs(
+                step.code, pos["payload"], pos["punct"], pos["short"],
+                self.config.max_iters, self.config.alg,
+                self.config.verify_hash_bits, l_max)
+        return self._programs[rate_index]
 
     # -- framing ---------------------------------------------------------
 
@@ -197,90 +211,79 @@ class _Party:
         }
 
     def payload_per_block(self, rate_index: int) -> int:
+        """Static payload-vector size P of the rung (incl. extra-shortened
+        positions — those carry PRNG fill, not stream bits)."""
         return int(self._step_positions[rate_index]["payload"].size)
 
     def window_payload_bits(self, rate_index: int, short_bits: int = 0) -> int:
+        """STREAM bits consumed per window at this rung + fine shortening."""
         return ((self.payload_per_block(rate_index) - short_bits)
                 * self.config.blocks_per_window)
 
-    def _window_positions(self, rate_index: int, window_id: int,
-                          short_bits: int) -> dict:
-        """Per-window variable-position sets; fine rate adaptation moves
-        ``short_bits`` protocol-PRNG-chosen payload positions into an extra
-        shortened set ("xshort") pinned to shared-PRNG values."""
-        base = self._step_positions[rate_index]
-        if short_bits == 0:
-            return {**base, "xshort": np.zeros(0, np.int64)}
-        key = prng.derive(self.session, "xshort", window_id, rate_index)
-        sel = np.asarray(prng.subset_indices(key, base["payload"].size,
-                                             short_bits))
-        mask = np.ones(base["payload"].size, bool)
-        mask[sel] = False
-        return {"payload": base["payload"][mask], "punct": base["punct"],
-                "short": base["short"], "xshort": base["payload"][~mask]}
+    def _xshort_mask(self, rate_index: int, window_id: int,
+                     short_bits: int) -> np.ndarray:
+        """(P,) bool — per-window extra-shortened payload positions
+        (protocol-PRNG-chosen; both parties derive the identical mask)."""
+        P = self.payload_per_block(rate_index)
+        mask = np.zeros(P, bool)
+        if short_bits:
+            key = prng.derive(self.session, "xshort", window_id, rate_index)
+            sel = np.asarray(prng.subset_indices(key, P, short_bits))
+            mask[sel] = True
+        return mask
 
-    def _shared_short_bits(self, window_id: int, count: int,
-                           purpose: str = "short") -> np.ndarray:
-        """Shortened-position fill known to both parties."""
+    def _assemble_payload(self, stream: np.ndarray, xmask: np.ndarray,
+                          window_id: int) -> np.ndarray:
+        """(B, P) payload vector: stream bits at unmasked positions,
+        shared-PRNG fill at extra-shortened ones."""
+        B = self.config.blocks_per_window
+        s = int(xmask.sum())
+        payload = np.empty((B, xmask.size), np.uint8)
+        payload[:, ~xmask] = stream
+        if s:
+            key = prng.derive(self.session, "xshort-fill", window_id)
+            payload[:, xmask] = np.asarray(prng.random_bits(key, (B, s)))
+        return payload
+
+    def _shared_short_bits(self, window_id: int, count: int) -> np.ndarray:
+        """Whole-column shortening fill known to both parties."""
         if count == 0:
             return np.zeros((self.config.blocks_per_window, 0), np.uint8)
-        key = prng.derive(self.session, purpose, window_id)
+        key = prng.derive(self.session, "short", window_id)
         return np.asarray(prng.random_bits(
             key, (self.config.blocks_per_window, count)))
 
-    def _frame_full_blocks(self, payload: np.ndarray, pos: dict,
-                           window_id: int,
-                           punct_fill: Optional[np.ndarray]) -> np.ndarray:
-        """Assemble (B, n) full codewords from (B, P) payload bits."""
-        B, n = self.config.blocks_per_window, self.config.n
-        x = np.zeros((B, n), np.uint8)
-        x[:, pos["payload"]] = payload
-        if pos["short"].size:
-            x[:, pos["short"]] = self._shared_short_bits(window_id, pos["short"].size)
-        if pos["xshort"].size:
-            x[:, pos["xshort"]] = self._shared_short_bits(
-                window_id, pos["xshort"].size, purpose="xshort-fill")
-        if pos["punct"].size:
-            assert punct_fill is not None
-            x[:, pos["punct"]] = punct_fill
-        return x
+    def _verify_key(self, window_id: int):
+        return prng.derive(self.session, "verify", window_id)
 
     # -- verification / PA ----------------------------------------------
 
-    def _verify_seeds(self, window_id: int, p_bits: int) -> jnp.ndarray:
-        key = prng.derive(self.session, "verify", window_id)
-        return prng.random_bits(
-            key, (self.config.blocks_per_window,
-                  p_bits + self.config.verify_hash_bits - 1))
-
-    def _verify_hashes(self, payload: np.ndarray, window_id: int) -> np.ndarray:
-        t = self._verify_seeds(window_id, payload.shape[1])
-        return np.asarray(pa_mod.toeplitz_hash_fft(
-            t, jnp.asarray(payload), self.config.verify_hash_bits))
-
-    def _final_length(self, rate_index: int, p_bits: int,
-                      qber_bits: int) -> int:
-        """qber_bits: the window's ACTUAL disclosure (adaptive — both parties
-        know it from the QberDisclose message, amortized over the blocks)."""
-        step = self.ladder.steps[rate_index]
+    def _final_base_length(self, rate_index: int, qber_bits: int,
+                           short_bits: int) -> int:
+        """Final length of a block with no retry leakage: the rung's static
+        maximum minus the window's amortized QBER disclosure and the
+        publicly-derivable extra-shortened positions."""
+        l_max = self.programs(rate_index).l_max
         qber_amort = -(-qber_bits // self.config.blocks_per_window)
-        return pa_mod.final_key_length(
-            p_bits, step.leaked_bits(), qber_amort,
-            self.config.verify_hash_bits, self.config.security_margin_bits)
+        return max(0, l_max - qber_amort - short_bits)
 
-    def _privacy_amplify(self, payload: np.ndarray, ok_mask: np.ndarray,
+    def _privacy_amplify(self, payload_dev, ok_mask: np.ndarray,
                          rate_index: int, window_id: int, qber_bits: int,
+                         short_bits: int,
                          extra_leak: Optional[np.ndarray] = None) -> int:
         """Hash ok blocks to final keys; returns total final bits.
 
+        payload_dev: (B, P) device array (stays resident from the decode).
         extra_leak: (B,) per-block additional disclosed bits (retry rounds);
-        blocks compress to l_final - extra_leak[b].  Blocks sharing a leak
-        value hash as one batched group with its own PA seed.
+        blocks compress to l_base - extra_leak[b].  Blocks sharing a leak
+        value hash as one batched device call; the rung-static (B, l_max)
+        output is sliced to the dynamic length on host (prefix of a Toeplitz
+        hash = Toeplitz hash of the seed prefix — protocol-exact).
         """
         B = self.config.blocks_per_window
-        p_bits = payload.shape[1]
-        l_base = self._final_length(rate_index, p_bits, qber_bits)
-        if l_base == 0:
+        prog = self.programs(rate_index)
+        l_base = self._final_base_length(rate_index, qber_bits, short_bits)
+        if l_base == 0 or prog.l_max == 0:
             return 0
         if extra_leak is None:
             extra_leak = np.zeros(B, np.int64)
@@ -288,12 +291,11 @@ class _Party:
         l_by_block: dict[int, int] = {}
         for extra in sorted(set(int(e) for b, e in enumerate(extra_leak)
                                 if ok_mask[b])):
-            l = max(0, l_base - extra)
+            l = max(0, min(l_base - extra, prog.l_max))
             if l == 0:
                 continue
             key = prng.derive(self.session, "pa", window_id, extra)
-            t = prng.random_bits(key, (B, p_bits + l - 1))
-            fk = np.asarray(pa_mod.toeplitz_hash_fft(t, jnp.asarray(payload), l))
+            fk = np.asarray(prog.pa(payload_dev, key))[:, :l]
             for b in range(B):
                 if ok_mask[b] and int(extra_leak[b]) == extra:
                     fk_by_block[b] = fk[b]
@@ -312,8 +314,8 @@ class _Party:
     def _retry_positions(self, window_id: int, round_: int,
                          p_bits: int) -> np.ndarray:
         """Payload-position indices disclosed in this retry round (both
-        parties derive the identical set; p_bits is the window's actual
-        per-block payload size after fine shortening)."""
+        parties derive the identical set; p_bits is the rung's static
+        payload-vector size P)."""
         key = prng.derive(self.session, "retry", window_id, round_)
         return np.asarray(prng.subset_indices(
             key, p_bits, self._retry_bits_per_block(p_bits)))
@@ -384,12 +386,26 @@ class AliceSession(_Party):
     def can_start_window(self) -> bool:
         # Worst case payload need: the highest-rate step (most puncturing) has
         # the smallest payload; reserve for the largest (= mother code).
+        #
+        # Pipelining constraint: window w+1 may only start once every earlier
+        # in-flight window has consumed its stream bits (stage past
+        # "qber_sent").  Both parties take bits from the buffer in their
+        # local event order, and the link is FIFO — starting w+1 before
+        # framing w would interleave Alice's takes (seg w, seg w+1, stream w)
+        # against Bob's FIFO order (seg w, stream w, seg w+1) and desync the
+        # key streams.
         max_need = self.config.qber_segment_bits + self.window_payload_bits(0)
-        return len(self.buffer) >= max_need and not self._inflight
+        return (len(self.buffer) >= max_need
+                and len(self._inflight) < self.config.max_inflight_windows
+                and all(st["stage"] != "qber_sent"
+                        for st in self._inflight.values()))
+
+    def _next_window(self) -> int:
+        return (max(self._inflight) + 1) if self._inflight else self.window_id
 
     def start_window(self) -> None:
         """Step 1: disclose QBER test bits for this window."""
-        w = self.window_id
+        w = self._next_window()
         k = self._next_test_bits
         seg = self._take(self.config.qber_segment_bits)
         pos = self._qber_positions(w, k)
@@ -418,15 +434,15 @@ class AliceSession(_Party):
         st = self._inflight.pop(window_id, None)
         if st is None:
             return
-        if "payload" in st:
-            self.ledger.add(discarded_bits=st["payload"].size)
+        if "stream_bits" in st:
+            self.ledger.add(discarded_bits=st["stream_bits"])
         self.window_id = max(self.window_id, window_id + 1)
         self.link.send(Abort(window_id=window_id, reason=reason))
 
     def _on_abort(self, msg: Abort) -> None:
         st = self._inflight.pop(msg.window_id, None)
-        if st is not None and "payload" in st:
-            self.ledger.add(discarded_bits=st["payload"].size)
+        if st is not None and "stream_bits" in st:
+            self.ledger.add(discarded_bits=st["stream_bits"])
         self.window_id = max(self.window_id, msg.window_id + 1)
 
     def _on_rate_select(self, msg: RateSelect) -> None:
@@ -437,17 +453,24 @@ class AliceSession(_Party):
         r = msg.rate_index
         s = msg.short_bits
         step = self.ladder.steps[r]
-        pos = self._window_positions(r, w, s)
+        pos = self._step_positions[r]
+        prog = self.programs(r)
         B = self.config.blocks_per_window
-        payload = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
+        xmask = self._xshort_mask(r, w, s)
+        stream = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
+        payload = self._assemble_payload(stream, xmask, w)
+        shortfill = self._shared_short_bits(w, pos["short"].size)
         punct = (self._private.integers(0, 2, (B, pos["punct"].size))
-                 .astype(np.uint8) if pos["punct"].size else None)
-        x = self._frame_full_blocks(payload, pos, w, punct)
-        syn = np.asarray(self._encoder(r)(jnp.asarray(x)))
-        hashes = self._verify_hashes(payload, w)
+                 .astype(np.uint8))
+        payload_dev = jnp.asarray(payload)
+        syn, hashes = prog.alice(payload_dev, jnp.asarray(shortfill),
+                                 jnp.asarray(punct), self._verify_key(w))
+        syn, hashes = np.asarray(syn), np.asarray(hashes)
         self.ledger.add(syndrome_bits=step.leaked_bits() * B,
                         verify_hash_bits=self.config.verify_hash_bits * B)
-        st.update(stage="syndromes_sent", rate_index=r, payload=payload)
+        st.update(stage="syndromes_sent", rate_index=r, short_bits=s,
+                  payload=payload, payload_dev=payload_dev,
+                  stream_bits=stream.size)
         self.link.send(Syndromes(
             window_id=w, rate_index=r, num_blocks=B,
             syndrome_bits=step.code.m, syndromes=syn, verify_hashes=hashes,
@@ -469,7 +492,8 @@ class AliceSession(_Party):
         ok = msg.ok_mask.astype(bool)
         payload = st["payload"]
         r = st["rate_index"]
-        p_bits = payload.shape[1]
+        s = st["short_bits"]
+        P = payload.shape[1]
         extra = st.setdefault("extra_leak",
                               np.zeros(self.config.blocks_per_window, np.int64))
 
@@ -478,8 +502,8 @@ class AliceSession(_Party):
             # Blind-reconciliation retry: disclose retry_fraction of the
             # payload (protocol-PRNG positions) for every failed block so Bob
             # can pin those bits and re-decode.  The window stays in flight.
-            k = self._retry_bits_per_block(p_bits)
-            positions = self._retry_positions(w, rounds, p_bits)
+            k = self._retry_bits_per_block(P)
+            positions = self._retry_positions(w, rounds, P)
             bits = payload[failed][:, positions]
             extra[failed] += k
             self.ledger.add(syndrome_bits=k * int(failed.sum()))
@@ -490,13 +514,14 @@ class AliceSession(_Party):
                 failed_mask=failed.astype(np.uint8), bits=bits))
             return
 
-        final = self._privacy_amplify(payload, ok, r, w, st["qber_bits"],
-                                      extra_leak=extra)
-        self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
-                        discarded_bits=int((~ok).sum()) * p_bits,
+        per_block_stream = P - s
+        final = self._privacy_amplify(st["payload_dev"], ok, r, w,
+                                      st["qber_bits"], s, extra_leak=extra)
+        self.ledger.add(reconciled_bits=int(ok.sum()) * per_block_stream,
+                        discarded_bits=int((~ok).sum()) * per_block_stream,
                         final_bits=final, blocks_ok=int(ok.sum()),
                         blocks_failed=int((~ok).sum()))
-        self.window_id += 1
+        self.window_id = max(self.window_id, w + 1)
 
 
 class BobSession(_Party):
@@ -511,12 +536,31 @@ class BobSession(_Party):
         from qtpu.qber import QberEstimator
         self.qest = QberEstimator(halflife=config.qber_prior_halflife,
                                   max_n=float(config.qber_prior_max_n))
+        # Windows whose decode is dispatched but not yet resolved (device
+        # futures) — resolved in arrival order by flush().  Deferral lets
+        # consecutive windows' decodes queue back-to-back on the device while
+        # the host frames the next window (the PP stage-overlap of SURVEY §3).
+        self._pending: list[int] = []
+
+    def flush(self) -> bool:
+        """Resolve all dispatched decodes (ack windows in order); returns
+        True if anything was resolved."""
+        did = False
+        while self._pending:
+            w = self._pending.pop(0)
+            st = self._inflight.get(w)
+            if st is None or st["stage"] != "decoding":
+                continue
+            self._resolve_decode(w, st)
+            did = True
+        return did
 
     def _next_test_request(self) -> int:
         return self.qest.request_bits(self.config.qber_test_floor,
                                       self.config.qber_test_bits)
 
     def checkpoint_state(self) -> dict:
+        self.flush()
         state = super().checkpoint_state()
         state["qber_prior"] = self.qest.state()
         return state
@@ -533,8 +577,10 @@ class BobSession(_Party):
         elif isinstance(msg, Syndromes):
             self._on_syndromes(msg)
         elif isinstance(msg, RetryDisclose):
+            self.flush()   # retries reference resolved decode state
             self._on_retry(msg)
         elif isinstance(msg, Abort):
+            self.flush()
             self._on_abort(msg)
         else:
             raise ValueError(f"Bob got unexpected {type(msg).__name__}")
@@ -549,8 +595,8 @@ class BobSession(_Party):
 
     def _on_qber(self, msg: QberDisclose) -> None:
         w = msg.window_id
-        if w in self._inflight:
-            return  # duplicate disclose
+        if w in self._inflight or w < self.window_id:
+            return  # duplicate disclose (in-flight or already completed)
         k = msg.num_bits   # adaptive: Alice's disclosure sets the size
         seg = self._take(self.config.qber_segment_bits)
         pos = self._qber_positions(w, k)
@@ -579,50 +625,56 @@ class BobSession(_Party):
 
     def _on_syndromes(self, msg: Syndromes) -> None:
         w = msg.window_id
-        st = self._inflight.pop(w, None)
+        st = self._inflight.get(w)
         if st is None or st["stage"] != "rate_sent":
-            return  # duplicate or aborted window
+            return  # duplicate or aborted window (state left untouched)
         assert st["rate_index"] == msg.rate_index
         assert st["short_bits"] == msg.short_bits
         r, q, s = msg.rate_index, st["qber"], msg.short_bits
         step = self.ladder.steps[r]
         assert msg.syndrome_bits == step.code.m
-        pos = self._window_positions(r, w, s)
-        B, n = self.config.blocks_per_window, self.config.n
-        payload = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
-
-        # Assemble LLRs: payload from channel, shortened pinned, punctured 0.
+        pos = self._step_positions[r]
+        prog = self.programs(r)
+        B = self.config.blocks_per_window
+        xmask = self._xshort_mask(r, w, s)
+        stream = self._take(self.window_payload_bits(r, s)).reshape(B, -1)
+        payload_rx = self._assemble_payload(stream, xmask, w)
+        shortfill = self._shared_short_bits(w, pos["short"].size)
         mag = np.float32(np.log((1.0 - q) / q))
-        llr = np.zeros((B, n), np.float32)
-        llr[:, pos["payload"]] = np.where(payload.astype(bool), -mag, mag)
-        if pos["short"].size:
-            sbits = self._shared_short_bits(w, pos["short"].size)
-            llr[:, pos["short"]] = np.where(sbits.astype(bool), -BIG_LLR, BIG_LLR)
-        if pos["xshort"].size:
-            xbits = self._shared_short_bits(w, pos["xshort"].size,
-                                            purpose="xshort-fill")
-            llr[:, pos["xshort"]] = np.where(xbits.astype(bool), -BIG_LLR, BIG_LLR)
-        res = self._decoder(r)(jnp.asarray(llr), jnp.asarray(msg.syndromes))
-        bits_hat = np.asarray(res.bits)
-        iters = np.asarray(res.iterations)
-        payload_hat = bits_hat[:, pos["payload"]]
 
-        hashes = self._verify_hashes(payload_hat, w)
-        ok = np.all(hashes == msg.verify_hashes, axis=1) & np.asarray(res.converged)
+        # Dispatch the fused decode program and DEFER the result sync: the
+        # device queues this window's decode behind earlier ones while the
+        # host goes back to the link (framing/QBER work for later windows).
+        payload_hat, ok_dev, iters, errs = prog.bob(
+            jnp.asarray(payload_rx), jnp.asarray(xmask, jnp.uint8),
+            jnp.asarray(shortfill), jnp.asarray(msg.syndromes),
+            jnp.asarray(msg.verify_hashes), jnp.float32(mag),
+            self._verify_key(w))
         self.ledger.add(syndrome_bits=step.leaked_bits() * B,
                         verify_hash_bits=self.config.verify_hash_bits * B)
+        st.update(stage="decoding", payload_rx=payload_rx, xmask=xmask,
+                  shortfill=shortfill, syndromes=msg.syndromes,
+                  expected_hashes=msg.verify_hashes,
+                  payload_hat_dev=payload_hat, ok_dev=ok_dev,
+                  iters_dev=iters, errs_dev=errs, round=0,
+                  extra_leak=np.zeros(B, np.int64))
+        self._inflight[w] = st
+        self._pending.append(w)
 
-        st.update(stage="decoded", llr=llr, syndromes=msg.syndromes,
-                  expected_hashes=msg.verify_hashes, payload_hat=payload_hat,
-                  ok=ok, iters=iters, round=0, positions=pos,
-                  payload_rx=payload, extra_leak=np.zeros(B, np.int64))
+    def _resolve_decode(self, w: int, st: dict) -> None:
+        """Second half of _on_syndromes: force the device results, ack."""
+        B = self.config.blocks_per_window
+        ok = np.asarray(st.pop("ok_dev"))
+        st.update(stage="decoded", ok=ok,
+                  iters=np.asarray(st.pop("iters_dev")),
+                  errs=np.asarray(st.pop("errs_dev")))
         if (~ok).any() and self.config.max_retries > 0:
             # Keep the window in flight awaiting Alice's retry disclosure.
-            self._inflight[w] = st
             self.link.send(VerifyAck(window_id=w, num_blocks=B,
                                      ok_mask=ok.astype(np.uint8), round=0,
                                      next_test_bits=self._next_test_request()))
             return
+        self._inflight.pop(w, None)
         self._finalize_window(w, st)
         self.link.send(VerifyAck(window_id=w, num_blocks=B,
                                  ok_mask=ok.astype(np.uint8), round=0,
@@ -636,35 +688,46 @@ class BobSession(_Party):
                 self._inflight[w] = st
             return  # duplicate / out-of-order retry
         r = st["rate_index"]
-        pos = st["positions"]
+        prog = self.programs(r)
         B = self.config.blocks_per_window
         failed = msg.failed_mask.astype(bool)
-        p_bits = st["payload_hat"].shape[1]
-        positions = self._retry_positions(w, msg.round, p_bits)
+        P = st["payload_rx"].shape[1]
+        positions = self._retry_positions(w, msg.round, P)
         assert len(positions) == msg.num_bits
-        var_idx = pos["payload"][positions]
 
-        # Pin the disclosed bits (they are now known exactly) and re-decode.
-        llr = st["llr"]
+        # Pin the disclosed bits: write Alice's values into failed rows and
+        # extend the pin mask, then re-run the same fused program.  Rows that
+        # were already ok keep their previous results (their pins would be
+        # Bob's possibly-wrong bits, but their outputs are discarded).
+        payload_rx2 = st["payload_rx"].copy()
         rows = np.flatnonzero(failed)
-        llr[np.repeat(rows, len(var_idx)),
-            np.tile(var_idx, len(rows))] = np.where(
-                msg.bits.astype(bool).reshape(-1), -BIG_LLR, BIG_LLR)
-        res = self._decoder(r)(jnp.asarray(llr), jnp.asarray(st["syndromes"]))
-        bits_hat = np.asarray(res.bits)
-        payload_hat = bits_hat[:, pos["payload"]]
-        hashes = self._verify_hashes(payload_hat, w)
-        ok_new = (np.all(hashes == st["expected_hashes"], axis=1)
-                  & np.asarray(res.converged))
+        payload_rx2[np.repeat(rows, len(positions)),
+                    np.tile(positions, len(rows))] = msg.bits.reshape(-1)
+        changed = (payload_rx2 != st["payload_rx"]).sum(axis=1)
+        xmask2 = st["xmask"].copy()
+        xmask2[positions] = True
+        q = st["qber"]
+        mag = np.float32(np.log((1.0 - q) / q))
+        payload_hat2, ok2_dev, iters2, errs2 = prog.bob(
+            jnp.asarray(payload_rx2), jnp.asarray(xmask2, jnp.uint8),
+            jnp.asarray(st["shortfill"]), jnp.asarray(st["syndromes"]),
+            jnp.asarray(st["expected_hashes"]), jnp.float32(mag),
+            self._verify_key(w))
+        ok_new = np.asarray(ok2_dev)
         # Previously-ok blocks keep their result; failed ones take the retry.
         ok = st["ok"] | (failed & ok_new)
-        payload_final = np.where(failed[:, None], payload_hat,
-                                 st["payload_hat"])
+        keep_prev = jnp.asarray(~failed)
+        payload_final = jnp.where(keep_prev[:, None], st["payload_hat_dev"],
+                                  payload_hat2)
+        # Error counts: retried rows count decode-vs-received errors PLUS the
+        # disclosed positions Alice's bits corrected in the rx copy.
+        errs = np.where(failed, np.asarray(errs2) + changed, st["errs"])
         extra = st["extra_leak"]
         extra[failed] += msg.num_bits
         self.ledger.add(syndrome_bits=msg.num_bits * int(failed.sum()))
-        st.update(payload_hat=payload_final, ok=ok, round=msg.round + 1,
-                  iters=np.maximum(st["iters"], np.asarray(res.iterations)))
+        st.update(payload_hat_dev=payload_final, ok=ok, round=msg.round + 1,
+                  errs=errs,
+                  iters=np.maximum(st["iters"], np.asarray(iters2)))
         if (~ok).any() and st["round"] < self.config.max_retries:
             self._inflight[w] = st
             self.link.send(VerifyAck(window_id=w, num_blocks=B,
@@ -680,42 +743,47 @@ class BobSession(_Party):
 
     def _update_qber_prior(self, st: dict) -> None:
         """Fold the exact error counts of this window's verified blocks into
-        the decaying QBER prior (free information: corrected vs received)."""
+        the decaying QBER prior (free information: corrected vs received;
+        the fused program returns per-block counts, so no payload leaves the
+        device for this)."""
         ok = st["ok"]
         if not ok.any():
             return
-        diff = st["payload_hat"][ok] != st["payload_rx"][ok]
-        self.qest.update_prior(float(diff.sum()), float(diff.size))
+        s = int(st["xmask"].sum())
+        per_block = st["payload_rx"].shape[1] - s  # pinned positions can't err
+        errs = float(st["errs"][ok].sum())
+        self.qest.update_prior(errs, float(per_block * int(ok.sum())))
 
     def _finalize_window(self, w: int, st: dict) -> None:
         r = st["rate_index"]
         step = self.ladder.steps[r]
         B = self.config.blocks_per_window
         ok = st["ok"]
-        payload_hat = st["payload_hat"]
+        s = st["short_bits"]
         self._update_qber_prior(st)
         iters = st["iters"]
         q = st["qber"]
         extra = st["extra_leak"]
-        p_bits = payload_hat.shape[1]
-        final = self._privacy_amplify(payload_hat, ok, r, w, st["qber_bits"],
-                                      extra_leak=extra)
-        self.ledger.add(reconciled_bits=int(ok.sum()) * p_bits,
-                        discarded_bits=int((~ok).sum()) * p_bits,
+        P = st["payload_rx"].shape[1]
+        per_block_stream = P - s
+        final = self._privacy_amplify(st["payload_hat_dev"], ok, r, w,
+                                      st["qber_bits"], s, extra_leak=extra)
+        self.ledger.add(reconciled_bits=int(ok.sum()) * per_block_stream,
+                        discarded_bits=int((~ok).sum()) * per_block_stream,
                         final_bits=final, blocks_ok=int(ok.sum()),
                         blocks_failed=int((~ok).sum()))
         self.metrics.append(WindowMetrics(
             window_id=w, qber_est=float(q), rate_index=r,
-            rate_eff=1.0 - step.leaked_bits() / p_bits, blocks=B,
+            rate_eff=1.0 - step.leaked_bits() / per_block_stream, blocks=B,
             blocks_ok=int(ok.sum()), iters_mean=float(iters.mean()),
-            iters_max=int(iters.max()), payload_bits=p_bits * B,
+            iters_max=int(iters.max()), payload_bits=per_block_stream * B,
             leaked_syndrome=step.leaked_bits() * B,
             leaked_qber=st["qber_bits"],
             leaked_hash=self.config.verify_hash_bits * B,
             final_bits=final,
             blocks_retried=int((extra > 0).sum()),
-            extra_short_bits=int(st.get("short_bits", 0))))
-        self.window_id += 1
+            extra_short_bits=s))
+        self.window_id = max(self.window_id, w + 1)
 
 
 def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,
@@ -728,7 +796,7 @@ def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,
     bob = BobSession(config, session_seed, lb)
     alice.push_sifted(alice_bits)
     bob.push_sifted(bob_bits)
-    # Pump until quiescent.
+    # Pump until quiescent; deferred decodes resolve when the link drains.
     for _ in range(10_000):
         progressed = False
         if alice.can_start_window():
@@ -741,6 +809,8 @@ def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,
         m = la.recv()
         if m is not None:
             alice.on_message(m)
+            progressed = True
+        if not progressed and bob.flush():
             progressed = True
         if not progressed:
             break

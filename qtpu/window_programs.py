@@ -1,0 +1,156 @@
+"""Fused per-window device programs for the reconciliation pipeline.
+
+Round-1 measured the decode kernel at multi-Gbit/s but left framing, LLR
+assembly, verification hashing and PA as per-window host NumPy (round-1
+verdict finding #2) — none of it would sustain 1 Gbit/s end to end.  This
+module moves the whole per-window compute into THREE jitted programs per
+ladder rung (static shapes, compiled once per rung):
+
+  * alice_program:  payload scatter → codeword framing → syndrome encode →
+                    verification hashes.
+  * bob_program:    LLR assembly (channel + shortened pins + punctured zeros
+                    + fine-shortening mask) → batched BP decode → payload
+                    extraction → verification hashes → ok mask → free
+                    per-block error counts (for the post-decode QBER prior).
+  * pa_program:     batched FFT Toeplitz privacy amplification at the rung's
+                    static maximum output length; callers slice the dynamic
+                    final length on host (a length-l prefix of a Toeplitz
+                    hash IS the Toeplitz hash of the seed's length-l prefix,
+                    so truncation is protocol-exact).
+
+Fine rate adaptation with static shapes: the rung's payload vector keeps its
+full static size P; per-window extra-shortened positions are a MASK whose
+entries carry shared-PRNG fill (publicly derivable, hence charged to the
+ledger), instead of shrinking the tensor.  Verification and PA run over the
+full P-vector on both sides.
+
+Reference capability: the per-processblock compute of ecd2 (SURVEY.md §4.3/
+§4.4) — here one device program per protocol stage, batched over the window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qtpu.ldpc.codes import QCCode
+from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
+
+__all__ = ["WindowPrograms", "make_window_programs"]
+
+
+def _toeplitz_hash(t_bits, x_bits, m):
+    """In-jit batched FFT Toeplitz hash ((B, n) x (B, m+n-1) -> (B, m))."""
+    n = x_bits.shape[-1]
+    need = (m + n - 1) + n - 1
+    L = 1 << (need - 1).bit_length()
+    tf = jnp.fft.rfft(t_bits.astype(jnp.float32), L, axis=-1)
+    xf = jnp.fft.rfft(x_bits.astype(jnp.float32), L, axis=-1)
+    conv = jnp.fft.irfft(tf * xf, L, axis=-1)
+    seg = jax.lax.dynamic_slice_in_dim(conv, n - 1, m, axis=-1)
+    return (jnp.round(seg).astype(jnp.int32) & 1).astype(jnp.uint8)
+
+
+class WindowPrograms(NamedTuple):
+    alice: callable     # (payload_full, shortfill, punct, vkey) -> (syn, hashes)
+    bob: callable       # (payload_rx, xmask, shortfill, syn, exp_hashes, qmag,
+                        #  vkey) -> (payload_hat, ok, iters, err_counts)
+    pa: callable        # (payload, pakey) -> (B, l_max) uint8
+    l_max: int
+
+
+def make_window_programs(code: QCCode, pay_pos: np.ndarray,
+                         punct_pos: np.ndarray, short_pos: np.ndarray,
+                         max_iters: int, alg: str, verify_hash_bits: int,
+                         l_max: int) -> WindowPrograms:
+    """Build the three fused programs for one ladder rung.
+
+    pay_pos / punct_pos / short_pos: static variable-index arrays (the rung's
+    column classes, expanded to bit positions).  l_max: the rung's maximum PA
+    output length (extra leakage only ever shrinks it; host slices).
+    """
+    n = code.n
+    P = int(pay_pos.size)
+    Vh = int(verify_hash_bits)
+    pay_pos = jnp.asarray(pay_pos, jnp.int32)
+    punct_pos = jnp.asarray(punct_pos, jnp.int32)
+    short_pos = jnp.asarray(short_pos, jnp.int32)
+    decoder = make_batch_decoder(code, max_iters, alg)
+
+    edge_row = [int(x) for x in code.edge_row]
+    edge_col = [int(x) for x in code.edge_col]
+    edge_shift = [int(x) for x in code.edge_shift]
+    mb, nb, z = code.mb, code.nb, code.z
+
+    def _encode(x_bits):
+        """(B, n) -> (B, m) syndrome, roll+XOR over base edges."""
+        b = x_bits.shape[0]
+        xi = jnp.transpose(x_bits.reshape(b, nb, z), (1, 2, 0))
+        syn = [None] * mb
+        for e in range(len(edge_row)):
+            i, j, s = edge_row[e], edge_col[e], edge_shift[e]
+            contrib = jnp.roll(xi[j], -s, axis=0)
+            syn[i] = contrib if syn[i] is None else syn[i] ^ contrib
+        return jnp.transpose(jnp.stack(syn), (2, 0, 1)).reshape(b, mb * z)
+
+    def _vseeds(vkey, b):
+        return jax.random.bernoulli(vkey, 0.5, (b, P + Vh - 1)).astype(jnp.uint8)
+
+    @jax.jit
+    def alice_program(payload_full, shortfill, punct, vkey):
+        """payload_full: (B, P) uint8 — stream bits with shared-PRNG fill
+        already written at extra-shortened positions (host's 1-line scatter).
+        shortfill: (B, S) whole-column shortening fill; punct: (B, Pc)
+        Alice-private random pad."""
+        b = payload_full.shape[0]
+        x = jnp.zeros((b, n), jnp.uint8)
+        x = x.at[:, pay_pos].set(payload_full)
+        if short_pos.size:
+            x = x.at[:, short_pos].set(shortfill)
+        if punct_pos.size:
+            x = x.at[:, punct_pos].set(punct)
+        syn = _encode(x)
+        hashes = _toeplitz_hash(_vseeds(vkey, b), payload_full, Vh)
+        return syn, hashes
+
+    @jax.jit
+    def bob_program(payload_rx, xmask, shortfill, syndromes, exp_hashes,
+                    qmag, vkey):
+        """payload_rx: (B, P) uint8 received bits, shared fill at xshort
+        positions; xmask: (P,) uint8, 1 = extra-shortened (pin, LLR ±BIG)."""
+        b = payload_rx.shape[0]
+        sign = 1.0 - 2.0 * payload_rx.astype(jnp.float32)   # bit0 -> +1
+        mag = jnp.where(xmask.astype(bool)[None, :], jnp.float32(BIG_LLR),
+                        qmag.astype(jnp.float32))
+        llr = jnp.zeros((b, n), jnp.float32)
+        llr = llr.at[:, pay_pos].set(sign * mag)
+        if short_pos.size:
+            ssign = 1.0 - 2.0 * shortfill.astype(jnp.float32)
+            llr = llr.at[:, short_pos].set(ssign * jnp.float32(BIG_LLR))
+        res = decoder(llr, syndromes)
+        payload_hat = res.bits[:, pay_pos]
+        # Pinned positions decode to their pin; force exactness anyway.
+        payload_hat = jnp.where(xmask.astype(bool)[None, :], payload_rx,
+                                payload_hat)
+        hashes = _toeplitz_hash(_vseeds(vkey, b), payload_hat, Vh)
+        ok = jnp.all(hashes == exp_hashes, axis=1) & res.converged
+        errs = jnp.sum((payload_hat ^ payload_rx).astype(jnp.int32), axis=1)
+        return payload_hat, ok, res.iterations, errs
+
+    if l_max > 0:
+        @jax.jit
+        def pa_program(payload, pakey):
+            b = payload.shape[0]
+            t = jax.random.bernoulli(pakey, 0.5,
+                                     (b, P + l_max - 1)).astype(jnp.uint8)
+            return _toeplitz_hash(t, payload, l_max)
+    else:
+        def pa_program(payload, pakey):  # rung can never yield key
+            return jnp.zeros((payload.shape[0], 0), jnp.uint8)
+
+    return WindowPrograms(alice=alice_program, bob=bob_program,
+                          pa=pa_program, l_max=l_max)

@@ -47,6 +47,8 @@ def _pump(alice, bob, la, lb, rounds=10_000):
         if m is not None:
             alice.on_message(m)
             progressed = True
+        if not progressed and bob.flush():
+            progressed = True
         if not progressed:
             return
 
@@ -116,7 +118,8 @@ def test_stale_ack_ignored():
     alice.start_window()
     bob.on_message(lb.recv())          # qber -> rate
     alice.on_message(la.recv())        # rate -> syndromes
-    bob.on_message(lb.recv())          # syndromes -> ack
+    bob.on_message(lb.recv())          # syndromes -> (deferred) decode
+    bob.flush()                        # resolve -> ack
     ack = la.recv()
     before = alice.ledger.as_dict()
     alice.on_message(ack)

@@ -143,8 +143,7 @@ def cascade_reconcile(oracle: ParityOracle, bob_bits: np.ndarray,
     r = 0
     while agree < biconf_target and r < biconf_max_rounds:
         key = prng.derive(root, "biconf", r)
-        import jax
-        pick = np.asarray(jax.random.bernoulli(key, 0.5, (n,)))
+        pick = prng.random_bits(key, (n,)).astype(bool)
         idx = np.flatnonzero(pick)
         r += 1
         biconf_rounds += 1
@@ -172,4 +171,5 @@ def jax_uniform(root, p: int, n: int) -> np.ndarray:
     """Protocol-deterministic uniforms for the pass-p permutation."""
     import jax
     key = prng.derive(root, "cascade-perm", p)
-    return np.asarray(jax.random.uniform(key, (n,)))
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(jax.random.uniform(key, (n,)))

@@ -189,7 +189,8 @@ class _Party:
             self._programs[rate_index] = make_window_programs(
                 step.code, pos["payload"], pos["punct"], pos["short"],
                 self.config.max_iters, self.config.alg,
-                self.config.verify_hash_bits, l_max)
+                self.config.verify_hash_bits, l_max,
+                batch=self.config.blocks_per_window)
         return self._programs[rate_index]
 
     # -- framing ---------------------------------------------------------
@@ -253,8 +254,8 @@ class _Party:
         return np.asarray(prng.random_bits(
             key, (self.config.blocks_per_window, count)))
 
-    def _verify_key(self, window_id: int):
-        return prng.derive(self.session, "verify", window_id)
+    def _verify_key(self, window_id: int) -> np.ndarray:
+        return prng.key_data(prng.derive(self.session, "verify", window_id))
 
     # -- verification / PA ----------------------------------------------
 
@@ -294,7 +295,8 @@ class _Party:
             l = max(0, min(l_base - extra, prog.l_max))
             if l == 0:
                 continue
-            key = prng.derive(self.session, "pa", window_id, extra)
+            key = prng.key_data(prng.derive(self.session, "pa", window_id,
+                                            extra))
             fk = np.asarray(prog.pa(payload_dev, key))[:, :l]
             for b in range(B):
                 if ok_mask[b] and int(extra_leak[b]) == extra:
@@ -382,6 +384,11 @@ class AliceSession(_Party):
         # Adaptive QBER disclosure: Bob's VerifyAck carries the size he wants
         # for the next window; cold sessions use the configured maximum.
         self._next_test_bits = config.qber_test_bits
+        # Monotone window-id dispenser: ids are handed out exactly once.
+        # (Deriving the next id from the in-flight set reuses an id when
+        # windows complete out of order — a retried window outliving its
+        # successor — which desyncs the parties' stream cursors.)
+        self._next_start = 0
 
     def can_start_window(self) -> bool:
         # Worst case payload need: the highest-rate step (most puncturing) has
@@ -401,11 +408,12 @@ class AliceSession(_Party):
                         for st in self._inflight.values()))
 
     def _next_window(self) -> int:
-        return (max(self._inflight) + 1) if self._inflight else self.window_id
+        return max(self._next_start, self.window_id)
 
     def start_window(self) -> None:
         """Step 1: disclose QBER test bits for this window."""
         w = self._next_window()
+        self._next_start = w + 1
         k = self._next_test_bits
         seg = self._take(self.config.qber_segment_bits)
         pos = self._qber_positions(w, k)

@@ -16,6 +16,7 @@ seed without any further coordination, and the derivation is order-independent
 
 from __future__ import annotations
 
+import functools
 import zlib
 from typing import Union
 
@@ -23,9 +24,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["root_key", "derive", "random_bits", "subset_indices", "toeplitz_seed_bits"]
+__all__ = ["root_key", "derive", "random_bits", "subset_indices",
+           "toeplitz_seed_bits", "key_data"]
 
 PathElem = Union[str, int]
+
+
+@functools.lru_cache(maxsize=1)
+def _cpu():
+    return jax.devices("cpu")[0]
+
+# Protocol PRNG ops are tiny and latency-bound; running them eagerly on an
+# accelerator — worse, a TUNNELED one — costs a network round trip per op
+# (round-2 measurement: ~0.5 s/window of pure PRNG dispatch).  Pin them to
+# the host CPU backend; device programs receive raw key data instead.
 
 
 def _tag(p: PathElem):
@@ -43,28 +55,39 @@ def _tag(p: PathElem):
 
 def root_key(seed: int) -> jax.Array:
     """Session root key from the exchanged seed (threefry, counter-based)."""
-    return jax.random.key(seed & 0xFFFFFFFFFFFFFFFF)
+    with jax.default_device(_cpu()):
+        return jax.random.key(seed & 0xFFFFFFFFFFFFFFFF)
 
 
 def derive(key: jax.Array, *path: PathElem) -> jax.Array:
     """Derive a sub-key along a labeled path; commutative-free and collision-safe
     for distinct paths (fold_in of 32-bit tags)."""
-    for p in path:
-        key = jax.random.fold_in(key, _tag(p))
-    return key
+    with jax.default_device(_cpu()):
+        for p in path:
+            key = jax.random.fold_in(key, _tag(p))
+        return key
 
 
-def random_bits(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
-    """Uniform {0,1} uint8 bits of the given shape."""
-    return jax.random.bernoulli(key, 0.5, shape).astype(jnp.uint8)
+def key_data(key: jax.Array) -> np.ndarray:
+    """Raw key data (uint32 numpy) — the form device programs take keys in
+    (re-wrapped inside jit with jax.random.wrap_key_data), so that a
+    CPU-resident protocol key never forces an eager accelerator op."""
+    return np.asarray(jax.random.key_data(key))
 
 
-def subset_indices(key: jax.Array, n: int, k: int) -> jax.Array:
+def random_bits(key: jax.Array, shape: tuple[int, ...]) -> np.ndarray:
+    """Uniform {0,1} uint8 bits of the given shape (host numpy)."""
+    with jax.default_device(_cpu()):
+        return np.asarray(jax.random.bernoulli(key, 0.5, shape)).astype(np.uint8)
+
+
+def subset_indices(key: jax.Array, n: int, k: int) -> np.ndarray:
     """Choose k of n positions without replacement (QBER test bits).
 
     Deterministic given the key; both parties compute the same subset.
     """
-    return jax.random.choice(key, n, shape=(k,), replace=False)
+    with jax.default_device(_cpu()):
+        return np.asarray(jax.random.choice(key, n, shape=(k,), replace=False))
 
 
 def toeplitz_seed_bits(key: jax.Array, n_in: int, n_out: int) -> jax.Array:

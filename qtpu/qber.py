@@ -95,7 +95,11 @@ class QberEstimator:
         budget = max(ucb_budget_abs, ucb_budget_rel * q)
         n_needed = q * (1.0 - q) * (self.ucb_sigmas / budget) ** 2
         k = int(np.ceil(n_needed - self._n))
-        return int(np.clip(k, floor, ceil))
+        k = int(np.clip(k, floor, ceil))
+        # Quantize up to a multiple of the floor: every distinct size is a
+        # fresh trace of the position-sampling program, so the request grid
+        # must stay small for compile caching.
+        return int(-(-k // max(1, floor)) * max(1, floor))
 
     # -- checkpoint -------------------------------------------------------
 

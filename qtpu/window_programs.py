@@ -63,15 +63,29 @@ class WindowPrograms(NamedTuple):
     l_max: int
 
 
+def _pick_decoder(code: QCCode, max_iters: int, alg: str, batch: int):
+    """Pallas VMEM-resident kernel on TPU (the production path — ~35x the
+    XLA decoder, round-1 measurements); XLA elsewhere or when the batch
+    doesn't tile."""
+    if alg in ("minsum", "layered") and jax.devices()[0].platform == "tpu":
+        from qtpu.ldpc.pallas_bp import default_batch_tile, make_pallas_decoder
+        bt = default_batch_tile(code)
+        if batch % bt == 0:
+            return make_pallas_decoder(code, max_iters, alg=alg,
+                                       batch_tile=bt)
+    return make_batch_decoder(code, max_iters, alg)
+
+
 def make_window_programs(code: QCCode, pay_pos: np.ndarray,
                          punct_pos: np.ndarray, short_pos: np.ndarray,
                          max_iters: int, alg: str, verify_hash_bits: int,
-                         l_max: int) -> WindowPrograms:
+                         l_max: int, batch: int = 0) -> WindowPrograms:
     """Build the three fused programs for one ladder rung.
 
     pay_pos / punct_pos / short_pos: static variable-index arrays (the rung's
     column classes, expanded to bit positions).  l_max: the rung's maximum PA
     output length (extra leakage only ever shrinks it; host slices).
+    batch: expected blocks per window (picks the decoder kernel tiling).
     """
     n = code.n
     P = int(pay_pos.size)
@@ -79,7 +93,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
     pay_pos = jnp.asarray(pay_pos, jnp.int32)
     punct_pos = jnp.asarray(punct_pos, jnp.int32)
     short_pos = jnp.asarray(short_pos, jnp.int32)
-    decoder = make_batch_decoder(code, max_iters, alg)
+    decoder = _pick_decoder(code, max_iters, alg, batch)
 
     edge_row = [int(x) for x in code.edge_row]
     edge_col = [int(x) for x in code.edge_col]
@@ -97,7 +111,10 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
             syn[i] = contrib if syn[i] is None else syn[i] ^ contrib
         return jnp.transpose(jnp.stack(syn), (2, 0, 1)).reshape(b, mb * z)
 
-    def _vseeds(vkey, b):
+    def _vseeds(vkey_data, b):
+        # Keys arrive as raw uint32 data (qtpu.prng.key_data) so the
+        # CPU-resident protocol PRNG never dispatches eager accelerator ops.
+        vkey = jax.random.wrap_key_data(vkey_data)
         return jax.random.bernoulli(vkey, 0.5, (b, P + Vh - 1)).astype(jnp.uint8)
 
     @jax.jit
@@ -143,8 +160,9 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
 
     if l_max > 0:
         @jax.jit
-        def pa_program(payload, pakey):
+        def pa_program(payload, pakey_data):
             b = payload.shape[0]
+            pakey = jax.random.wrap_key_data(pakey_data)
             t = jax.random.bernoulli(pakey, 0.5,
                                      (b, P + l_max - 1)).astype(jnp.uint8)
             return _toeplitz_hash(t, payload, l_max)

@@ -30,6 +30,7 @@ LEDGER_FIELDS = (
     "final_bits",         # secret bits after privacy amplification
     "blocks_ok",          # blocks verified
     "blocks_failed",      # blocks failed verification
+    "auth_bits",          # secret key consumed authenticating the channel
 )
 
 
@@ -46,6 +47,7 @@ class Ledger:
     final_bits: int = 0
     blocks_ok: int = 0
     blocks_failed: int = 0
+    auth_bits: int = 0
 
     def add(self, **kw: int) -> None:
         for k, v in kw.items():

@@ -96,9 +96,15 @@ def _run_party(cfg: RunConfig, args, party: str) -> int:
         LinkCls = TcpLink
     if party == "alice":
         link = LinkCls.listen(host, int(port))
-        chain = AliceChain(cfg.chain, cfg.session_seed, link)
     else:
         link = LinkCls.connect(host, int(port))
+    if getattr(args, "auth_seed", None) is not None:
+        from qtpu.auth import AuthedLink
+        link = AuthedLink(link, int(args.auth_seed, 0), party == "alice")
+        link.close = link._inner.close  # passthrough
+    if party == "alice":
+        chain = AliceChain(cfg.chain, cfg.session_seed, link)
+    else:
         chain = BobChain(cfg.chain, cfg.session_seed, link)
 
     src = _build_chain_parts(cfg)
@@ -266,6 +272,10 @@ def main(argv=None) -> int:
         sp.add_argument("--link", choices=("python", "native"), default="python",
                         help="classical-channel transport: pure-Python TcpLink "
                              "or the C++ transferd library (qtpu.runtime)")
+        sp.add_argument("--auth-seed", default=None,
+                        help="pre-shared authentication seed (hex/int): wraps "
+                             "the link in a Wegman-Carter MAC; consumption is "
+                             "charged to the ledger as auth_bits")
     sub.add_parser("bench")
     spc = sub.add_parser("calibrate")
     spc.add_argument("--blocks", type=int, default=256)

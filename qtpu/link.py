@@ -37,17 +37,23 @@ class LoopbackLink:
         self.bytes_sent = 0
         self.bytes_received = 0
 
-    def send(self, msg: Message) -> None:
-        data = pack_message(msg)
+    def send_bytes(self, data: bytes) -> None:
         self.bytes_sent += len(data)
         self._tx.append(data)
 
-    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+    def recv_bytes(self, timeout: Optional[float] = None) -> Optional[bytes]:
         if not self._rx:
             return None
         data = self._rx.popleft()
         self.bytes_received += len(data)
-        return unpack_message(data)
+        return data
+
+    def send(self, msg: Message) -> None:
+        self.send_bytes(pack_message(msg))
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        data = self.recv_bytes(timeout)
+        return None if data is None else unpack_message(data)
 
     def pending(self) -> int:
         return len(self._rx)
@@ -97,16 +103,15 @@ class TcpLink:
                 time.sleep(0.1)
         raise ConnectionError(f"could not connect to {host}:{port}: {last}")
 
-    def send(self, msg: Message) -> None:
+    def send_bytes(self, data: bytes) -> None:
         # Sends must be fully blocking: a timeout inherited from a previous
         # recv() would abort sendall() mid-frame for payloads larger than the
         # socket buffer, desynchronizing the length-prefixed stream.
-        data = pack_message(msg)
         self._sock.settimeout(None)
         self._sock.sendall(struct.pack("<I", len(data)) + data)
         self.bytes_sent += len(data) + 4
 
-    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+    def recv_bytes(self, timeout: Optional[float] = None) -> Optional[bytes]:
         # The timeout applies only to *waiting for a frame*; once the header
         # arrives, the payload is read blocking so a slow sender can't leave
         # us with a half-frame.
@@ -119,7 +124,14 @@ class TcpLink:
         (n,) = struct.unpack("<I", head)
         data = self._recv_exact(n)
         self.bytes_received += n + 4
-        return unpack_message(data)
+        return data
+
+    def send(self, msg: Message) -> None:
+        self.send_bytes(pack_message(msg))
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        data = self.recv_bytes(timeout)
+        return None if data is None else unpack_message(data)
 
     def _recv_exact(self, n: int) -> bytes:
         buf = b""

@@ -190,7 +190,8 @@ class _Party:
                 step.code, pos["payload"], pos["punct"], pos["short"],
                 self.config.max_iters, self.config.alg,
                 self.config.verify_hash_bits, l_max,
-                batch=self.config.blocks_per_window)
+                batch=self.config.blocks_per_window,
+                mesh=getattr(self, "_mesh", None))
         return self._programs[rate_index]
 
     # -- framing ---------------------------------------------------------
@@ -342,6 +343,13 @@ class _Party:
         if not self.final_key_words:
             return np.zeros(0, np.uint8)
         return np.concatenate(self.final_key_words)
+
+    def _sync_auth_bits(self) -> None:
+        """Charge channel-authentication key consumption (AuthedLink) to the
+        ledger — absolute, the link owns the counter."""
+        consumed = getattr(self.link, "consumed_bits", None)
+        if consumed is not None:
+            self.ledger.auth_bits = int(consumed)
 
     # -- checkpoint / resume (SURVEY.md §6.4) ----------------------------
     # The durable unit is the stream cursor: window counter, leakage ledger,
@@ -529,16 +537,26 @@ class AliceSession(_Party):
                         discarded_bits=int((~ok).sum()) * per_block_stream,
                         final_bits=final, blocks_ok=int(ok.sum()),
                         blocks_failed=int((~ok).sum()))
+        self._sync_auth_bits()
         self.window_id = max(self.window_id, w + 1)
 
 
 class BobSession(_Party):
     """Receiver-side (decoder) session: estimates QBER, decodes, acks."""
 
-    def __init__(self, config: PipelineConfig, session_seed: int, link):
+    def __init__(self, config: PipelineConfig, session_seed: int, link,
+                 mesh=None):
         super().__init__(config, session_seed)
         self.link = link
         self._inflight: dict[int, dict] = {}
+        # Optional DP mesh: shards the decode program's block batch over the
+        # mesh's first axis with a psum'd per-window ledger (BASELINE
+        # config 5).  blocks_per_window must divide by the mesh size.
+        self._mesh = mesh
+        # Per-window global (psum) device ledgers — window-level
+        # introspection for the multi-chip dryrun's parity assertions.
+        self.last_gled = None
+        self.gled_by_window: dict[int, np.ndarray] = {}
         # Post-decode QBER estimator (Bob-internal prior; the only wire
         # impact is the adaptive next_test_bits request on VerifyAck).
         from qtpu.qber import QberEstimator
@@ -653,13 +671,18 @@ class BobSession(_Party):
         # Dispatch the fused decode program and DEFER the result sync: the
         # device queues this window's decode behind earlier ones while the
         # host goes back to the link (framing/QBER work for later windows).
-        payload_hat, ok_dev, iters, errs = prog.bob(
+        out = prog.bob(
             jnp.asarray(payload_rx), jnp.asarray(xmask, jnp.uint8),
             jnp.asarray(shortfill), jnp.asarray(msg.syndromes),
             jnp.asarray(msg.verify_hashes), jnp.float32(mag),
             self._verify_key(w))
-        self.ledger.add(syndrome_bits=step.leaked_bits() * B,
-                        verify_hash_bits=self.config.verify_hash_bits * B)
+        if self._mesh is not None:
+            payload_hat, ok_dev, iters, errs, gled = out
+            st["gled_dev"] = gled
+        else:
+            payload_hat, ok_dev, iters, errs = out
+            self.ledger.add(syndrome_bits=step.leaked_bits() * B,
+                            verify_hash_bits=self.config.verify_hash_bits * B)
         st.update(stage="decoding", payload_rx=payload_rx, xmask=xmask,
                   shortfill=shortfill, syndromes=msg.syndromes,
                   expected_hashes=msg.verify_hashes,
@@ -676,6 +699,18 @@ class BobSession(_Party):
         st.update(stage="decoded", ok=ok,
                   iters=np.asarray(st.pop("iters_dev")),
                   errs=np.asarray(st.pop("errs_dev")))
+        if "gled_dev" in st:
+            # Mesh mode: the decode-stage leakage comes from the device's
+            # psum'd global ledger (the REAL accounting, BASELINE config 5);
+            # reconciled/discarded stay with finalize (retries adjust them).
+            from qtpu.accounting import LEDGER_FIELDS
+            gled = np.asarray(st.pop("gled_dev"))
+            self.last_gled = gled
+            self.gled_by_window[w] = gled
+            idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
+            self.ledger.add(
+                syndrome_bits=int(gled[idx["syndrome_bits"]]),
+                verify_hash_bits=int(gled[idx["verify_hash_bits"]]))
         if (~ok).any() and self.config.max_retries > 0:
             # Keep the window in flight awaiting Alice's retry disclosure.
             self.link.send(VerifyAck(window_id=w, num_blocks=B,
@@ -687,6 +722,7 @@ class BobSession(_Party):
         self.link.send(VerifyAck(window_id=w, num_blocks=B,
                                  ok_mask=ok.astype(np.uint8), round=0,
                                  next_test_bits=self._next_test_request()))
+        self._sync_auth_bits()
 
     def _on_retry(self, msg) -> None:
         w = msg.window_id
@@ -716,11 +752,16 @@ class BobSession(_Party):
         xmask2[positions] = True
         q = st["qber"]
         mag = np.float32(np.log((1.0 - q) / q))
-        payload_hat2, ok2_dev, iters2, errs2 = prog.bob(
+        out = prog.bob(
             jnp.asarray(payload_rx2), jnp.asarray(xmask2, jnp.uint8),
             jnp.asarray(st["shortfill"]), jnp.asarray(st["syndromes"]),
             jnp.asarray(st["expected_hashes"]), jnp.float32(mag),
             self._verify_key(w))
+        if self._mesh is not None:
+            payload_hat2, ok2_dev, iters2, errs2, _ = out  # retry leakage is
+            # charged from the RetryDisclose message below, not the gled
+        else:
+            payload_hat2, ok2_dev, iters2, errs2 = out
         ok_new = np.asarray(ok2_dev)
         # Previously-ok blocks keep their result; failed ones take the retry.
         ok = st["ok"] | (failed & ok_new)
@@ -748,6 +789,7 @@ class BobSession(_Party):
                                  ok_mask=ok.astype(np.uint8),
                                  round=st["round"],
                                  next_test_bits=self._next_test_request()))
+        self._sync_auth_bits()
 
     def _update_qber_prior(self, st: dict) -> None:
         """Fold the exact error counts of this window's verified blocks into

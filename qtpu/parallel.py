@@ -35,7 +35,7 @@ from qtpu.accounting import LEDGER_FIELDS
 __all__ = [
     "init_distributed", "make_mesh", "psum_ledger",
     "make_sharded_decoder", "halo_exchange_right",
-    "sharded_stream_toeplitz", "make_sharded_reconcile_step",
+    "sharded_stream_toeplitz",
 ]
 
 
@@ -148,46 +148,3 @@ def sharded_stream_toeplitz(t_bits: jax.Array, x_local: jax.Array, m: int,
     counts = jnp.round(contrib).astype(jnp.int32)
     total = jax.lax.psum(counts, axis)
     return (total & 1).astype(jnp.uint8)
-
-
-def make_sharded_reconcile_step(code, mesh: Mesh, max_iters: int = 50,
-                                alg: str = "minsum", use_pallas: bool = False,
-                                pa_bits: int = 0):
-    """The full multi-chip reconcile step (BASELINE config 5 shape).
-
-    One jitted program over the mesh: per-shard batched decode (DP over
-    blocks) + per-shard ledger vector + global psum ledger.  Returns
-    (bits (B,n) sharded, converged, iterations, global_ledger (9,)).
-    """
-    axis = mesh.axis_names[0]
-    if use_pallas:
-        from qtpu.ldpc.pallas_bp import make_pallas_decoder
-        local = make_pallas_decoder(code, max_iters)
-    else:
-        from qtpu.ldpc.decode import make_batch_decoder
-        local = make_batch_decoder(code, max_iters, alg)
-    m_bits = code.m
-    n_bits = code.n
-    idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
-
-    @jax.jit
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis), P(axis), P()),
-    )
-    def step(llr, syn):
-        r = local(llr, syn)
-        b = llr.shape[0]
-        led = jnp.zeros((len(LEDGER_FIELDS),), jnp.int32)
-        ok = r.converged.astype(jnp.int32)
-        led = led.at[idx["sifted_bits"]].set(b * n_bits)
-        led = led.at[idx["syndrome_bits"]].set(b * m_bits)
-        led = led.at[idx["reconciled_bits"]].set(jnp.sum(ok) * n_bits)
-        led = led.at[idx["discarded_bits"]].set(jnp.sum(1 - ok) * n_bits)
-        led = led.at[idx["blocks_ok"]].set(jnp.sum(ok))
-        led = led.at[idx["blocks_failed"]].set(jnp.sum(1 - ok))
-        gled = jax.lax.psum(led, axis)
-        return r.bits, r.converged, r.iterations, gled
-
-    return step

@@ -12,8 +12,7 @@ from qtpu.ldpc.codes import make_regular_code
 from qtpu.ldpc.decode import make_batch_decoder, channel_llr
 from qtpu.ldpc.encode import make_batch_encoder
 from qtpu.parallel import (halo_exchange_right, make_mesh,
-                           make_sharded_decoder, make_sharded_reconcile_step,
-                           sharded_stream_toeplitz)
+                           make_sharded_decoder, sharded_stream_toeplitz)
 
 
 @pytest.fixture(scope="module")
@@ -45,23 +44,48 @@ def test_sharded_decode_matches_single_device(mesh, code):
                                   np.asarray(sharded.iterations))
 
 
-def test_reconcile_step_global_ledger(mesh, code):
+def test_session_mesh_ledger_psum(mesh, code):
+    """The SESSION's fused decode program DP-sharded over the mesh: the
+    psum'd per-window device ledger must report the real quantities and the
+    outputs must be bit-identical to the unsharded program (the multi-chip
+    accounting of BASELINE config 5, session-integrated — round-2)."""
+    from qtpu.accounting import LEDGER_FIELDS
+    from qtpu.window_programs import make_window_programs
+    from qtpu import prng
     rng = np.random.default_rng(1)
     B = 16
     keys = rng.integers(0, 2, (B, code.n)).astype(np.uint8)
     bob = keys ^ (rng.random((B, code.n)) < 0.02).astype(np.uint8)
-    syn = make_batch_encoder(code)(jnp.asarray(keys))
-    llr = channel_llr(jnp.asarray(bob), 0.02)
-    sh = NamedSharding(mesh, P("blocks", None))
-    step = make_sharded_reconcile_step(code, mesh, max_iters=40)
-    bits, conv, iters, ledger = step(jax.device_put(llr, sh),
-                                     jax.device_put(syn, sh))
-    gl = np.asarray(ledger)
-    assert gl[0] == B * code.n                       # sifted
-    assert gl[2] == B * code.m                       # syndrome
-    assert gl[-2] + gl[-1] == B                      # ok + failed = blocks
-    assert gl[-2] == int(np.asarray(conv).sum())
-    np.testing.assert_array_equal(np.asarray(bits)[0], keys[0])
+    pay = np.arange(code.n, dtype=np.int64)
+    kwargs = dict(max_iters=40, alg="minsum", verify_hash_bits=64,
+                  l_max=128, batch=B)
+    empty = np.zeros(0, np.int64)
+    p1 = make_window_programs(code, pay, empty, empty, **kwargs)
+    p8 = make_window_programs(code, pay, empty, empty, mesh=mesh, **kwargs)
+    syn = np.asarray(make_batch_encoder(code)(jnp.asarray(keys)))
+    vkey = prng.key_data(prng.derive(prng.root_key(3), "verify", 0))
+    _, exp_hashes = p1.alice(jnp.asarray(keys),
+                             np.zeros((B, 0), np.uint8),
+                             np.zeros((B, 0), np.uint8), vkey)
+    xmask = np.zeros(code.n, np.uint8)
+    shortfill = np.zeros((B, 0), np.uint8)
+    mag = np.float32(np.log(0.98 / 0.02))
+    args = (jnp.asarray(bob), jnp.asarray(xmask), jnp.asarray(shortfill),
+            jnp.asarray(syn), exp_hashes, jnp.float32(mag), vkey)
+    hat1, ok1, it1, er1 = p1.bob(*args)
+    hat8, ok8, it8, er8, gled = p8.bob(*args)
+    np.testing.assert_array_equal(np.asarray(hat1), np.asarray(hat8))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok8))
+    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it8))
+    idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
+    gl = np.asarray(gled)
+    okc = int(np.asarray(ok1).sum())
+    assert gl[idx["syndrome_bits"]] == B * code.m
+    assert gl[idx["verify_hash_bits"]] == B * 64
+    assert gl[idx["blocks_ok"]] == okc
+    assert gl[idx["blocks_ok"]] + gl[idx["blocks_failed"]] == B
+    assert gl[idx["reconciled_bits"]] == okc * code.n
+    assert okc == B, "all blocks should verify at 2% with this code"
 
 
 def test_halo_exchange(mesh):

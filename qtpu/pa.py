@@ -37,6 +37,7 @@ __all__ = [
     "toeplitz_hash_golden",
     "make_toeplitz_hasher",
     "toeplitz_hash_fft",
+    "stream_toeplitz",
     "final_key_length",
 ]
 
@@ -94,6 +95,52 @@ def make_toeplitz_hasher(n: int, m: int, precision: jnp.dtype = jnp.float32):
         return toeplitz_hash_fft(t_bits, x_bits, m, precision)
 
     return hasher
+
+
+def stream_toeplitz(t_bits: jax.Array, stream: jax.Array, m: int,
+                    segment: int = 1 << 20) -> jax.Array:
+    """Streaming Toeplitz hash of one LONG key stream (overlap-save).
+
+    The session's per-block PA batches small FFTs; when one Toeplitz seed
+    must span a whole key stream (BASELINE config 4/5 "streaming across
+    block boundaries"), a single FFT of the full length would not fit —
+    instead the stream is processed in fixed ``segment``-bit windows under
+    ``lax.scan``, each contributing its partial linear convolution to the
+    m-bit output:
+
+        (T x)_i = Σ_s  conv(t[slice_s], x_s)[i]      (mod 2 after the sum)
+
+    Counts accumulate in int32 (exact); mod-2 at the end.  Bit-exact vs
+    ``toeplitz_hash_golden`` (tested at segment-boundary-crossing offsets).
+    The multi-device variant with the identical math per shard plus an
+    XOR-psum lives in qtpu.parallel.sharded_stream_toeplitz / make_stream_pa.
+
+    t_bits: (m + N - 1,) seed; stream: (N,) 0/1 with N a multiple of
+    ``segment`` (pad with zeros — zero bits add nothing).
+    """
+    N = stream.shape[0]
+    segment = min(segment, N)
+    assert N % segment == 0, "pad the stream to a segment multiple"
+    num = N // segment
+    L = segment
+    conv_len = 1 << ((m + 2 * L - 2) - 1).bit_length()
+    xs = stream.reshape(num, L)
+    # Segment s (bits [sL, sL+L)) needs t indices (N - 1 + i) - j for
+    # j in [sL, sL+L), i in [0, m): slice of length m + L - 1 starting at
+    # N - 1 - sL - (L - 1).
+    starts = N - L - jnp.arange(num) * L
+
+    def step(acc, inp):
+        x_s, start = inp
+        t_slice = jax.lax.dynamic_slice_in_dim(t_bits, start, m + L - 1)
+        tf = jnp.fft.rfft(t_slice.astype(jnp.float32), conv_len)
+        xf = jnp.fft.rfft(x_s.astype(jnp.float32), conv_len)
+        conv = jnp.fft.irfft(tf * xf, conv_len)
+        contrib = jax.lax.dynamic_slice_in_dim(conv, L - 1, m)
+        return acc + jnp.round(contrib).astype(jnp.int32), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros(m, jnp.int32), (xs, starts))
+    return (acc & 1).astype(jnp.uint8)
 
 
 def final_key_length(n_reconciled: int, leaked_syndrome: int, leaked_qber: int,

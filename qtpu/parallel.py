@@ -35,7 +35,7 @@ from qtpu.accounting import LEDGER_FIELDS
 __all__ = [
     "init_distributed", "make_mesh", "psum_ledger",
     "make_sharded_decoder", "halo_exchange_right",
-    "sharded_stream_toeplitz",
+    "sharded_stream_toeplitz", "make_stream_pa",
 ]
 
 
@@ -148,3 +148,27 @@ def sharded_stream_toeplitz(t_bits: jax.Array, x_local: jax.Array, m: int,
     counts = jnp.round(contrib).astype(jnp.int32)
     total = jax.lax.psum(counts, axis)
     return (total & 1).astype(jnp.uint8)
+
+
+def make_stream_pa(mesh: Mesh, n_stream: int, m: int):
+    """Jitted multi-device streaming privacy amplification (PRODUCT path —
+    the session's stream-PA mode calls this when given a mesh).
+
+    One Toeplitz seed spans the whole key stream; the stream shards over the
+    mesh's first axis, each device convolves its window with its slice of the
+    seed, and the m-bit output combines with an integer psum over ICI
+    (BASELINE.json:5 "streaming across block boundaries via collective
+    permute/psum").  Bit-exact vs qtpu.pa.toeplitz_hash_golden.
+
+    Returns ``pa(t_bits (m + n_stream - 1,), stream (n_stream,)) -> (m,)``.
+    """
+    axis = mesh.axis_names[0]
+    assert n_stream % mesh.size == 0, "stream must shard evenly (pad zeros)"
+
+    @jax.jit
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(), P(axis)), out_specs=P())
+    def pa(t_bits, stream):
+        return sharded_stream_toeplitz(t_bits, stream, m, axis)
+
+    return pa

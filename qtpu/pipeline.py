@@ -125,6 +125,13 @@ class PipelineConfig:
     # previous ones complete, so host framing + link I/O of window w+1 hide
     # under the device's decode of window w.
     max_inflight_windows: int = 2
+    # Privacy amplification mode: "per_block" hashes each block separately
+    # (batched FFT, the throughput path); "stream" accumulates the verified
+    # payload stream and hashes it with ONE Toeplitz seed spanning block and
+    # window boundaries every pa_stream_windows windows (overlap-save scan on
+    # one device, psum-combined shards on a mesh — BASELINE.json:5).
+    pa_mode: str = "per_block"
+    pa_stream_windows: int = 4
 
 
 @dataclasses.dataclass
@@ -172,6 +179,11 @@ class _Party:
         self.metrics: list[WindowMetrics] = []
         # Per-rate-step fused device programs, compiled lazily on first use.
         self._programs: dict[int, WindowPrograms] = {}
+        # Streaming-PA accumulator (pa_mode="stream").
+        self._stream_buf: list[np.ndarray] = []
+        self._stream_net = 0
+        self._stream_pending = 0
+        self._stream_flushes = 0
         # Static per-step position arrays (variable index space).
         self._step_positions: dict[int, dict] = {
             idx: self._positions_for(step)
@@ -310,6 +322,68 @@ class _Party:
                 self.final_key_index.append((window_id, b))
                 total += l_by_block[b]
         return total
+
+    # -- streaming PA (pa_mode="stream") ---------------------------------
+
+    def _stream_accumulate(self, payload_dev, ok: np.ndarray, rate_index: int,
+                           window_id: int, qber_bits: int, short_bits: int,
+                           extra_leak: np.ndarray) -> int:
+        """Accumulate this window's verified payload into the continuous key
+        stream with net-length bookkeeping; flush every pa_stream_windows
+        windows.  Returns final bits emitted (0 between flushes)."""
+        step = self.ladder.steps[rate_index]
+        B = self.config.blocks_per_window
+        pay = np.asarray(payload_dev)[ok]
+        okc = int(ok.sum())
+        P = self.payload_per_block(rate_index)
+        if okc:
+            self._stream_buf.append(pay.reshape(-1))
+        # Conservative leakage: every disclosed bit of the window counts,
+        # including failed blocks' syndromes/retries; extra-shortened
+        # positions of surviving blocks are publicly derivable fill.
+        leak = (step.leaked_bits() * B + qber_bits
+                + self.config.verify_hash_bits * B
+                + int(extra_leak.sum()) + short_bits * okc)
+        self._stream_net += okc * P - leak
+        self._stream_pending += 1
+        if self._stream_pending >= self.config.pa_stream_windows:
+            return self._flush_stream(window_id)
+        return 0
+
+    def _flush_stream(self, window_id: int) -> int:
+        """Hash the accumulated stream with one Toeplitz seed (overlap-save
+        on one device; sharded + psum on a mesh)."""
+        stream = (np.concatenate(self._stream_buf) if self._stream_buf
+                  else np.zeros(0, np.uint8))
+        net = self._stream_net
+        flush_idx = self._stream_flushes
+        self._stream_buf = []
+        self._stream_net = 0
+        self._stream_pending = 0
+        self._stream_flushes += 1
+        m = max(0, net - self.config.security_margin_bits)
+        if m == 0 or stream.size == 0:
+            return 0
+        mesh = getattr(self, "_mesh", None)
+        # Pad length is PROTOCOL configuration (both parties must hash the
+        # identical padded stream regardless of their local mesh topology);
+        # any power-of-two mesh up to the segment size divides it evenly.
+        segment = 1 << 16
+        n_pad = -(-stream.size // segment) * segment
+        padded = np.zeros(n_pad, np.uint8)
+        padded[: stream.size] = stream
+        key = prng.derive(self.session, "pa-stream", flush_idx)
+        t = prng.random_bits(key, (m + n_pad - 1,))
+        if mesh is not None:
+            from qtpu.parallel import make_stream_pa
+            fk = make_stream_pa(mesh, n_pad, m)(jnp.asarray(t),
+                                                jnp.asarray(padded))
+        else:
+            fk = pa_mod.stream_toeplitz(jnp.asarray(t), jnp.asarray(padded),
+                                        m, segment=segment)
+        self.final_key_words.append(np.asarray(fk))
+        self.final_key_index.append((window_id, -1 - flush_idx))
+        return m
 
     def _retry_bits_per_block(self, p_bits: int) -> int:
         return max(1, int(self.config.retry_fraction * p_bits))
@@ -531,8 +605,12 @@ class AliceSession(_Party):
             return
 
         per_block_stream = P - s
-        final = self._privacy_amplify(st["payload_dev"], ok, r, w,
-                                      st["qber_bits"], s, extra_leak=extra)
+        if self.config.pa_mode == "stream":
+            final = self._stream_accumulate(st["payload_dev"], ok, r, w,
+                                            st["qber_bits"], s, extra)
+        else:
+            final = self._privacy_amplify(st["payload_dev"], ok, r, w,
+                                          st["qber_bits"], s, extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * per_block_stream,
                         discarded_bits=int((~ok).sum()) * per_block_stream,
                         final_bits=final, blocks_ok=int(ok.sum()),
@@ -816,8 +894,13 @@ class BobSession(_Party):
         extra = st["extra_leak"]
         P = st["payload_rx"].shape[1]
         per_block_stream = P - s
-        final = self._privacy_amplify(st["payload_hat_dev"], ok, r, w,
-                                      st["qber_bits"], s, extra_leak=extra)
+        if self.config.pa_mode == "stream":
+            final = self._stream_accumulate(st["payload_hat_dev"], ok, r, w,
+                                            st["qber_bits"], s, extra)
+        else:
+            final = self._privacy_amplify(st["payload_hat_dev"], ok, r, w,
+                                          st["qber_bits"], s,
+                                          extra_leak=extra)
         self.ledger.add(reconciled_bits=int(ok.sum()) * per_block_stream,
                         discarded_bits=int((~ok).sum()) * per_block_stream,
                         final_bits=final, blocks_ok=int(ok.sum()),

@@ -58,10 +58,24 @@ class AliceChain:
         self._window_bits: dict[int, np.ndarray] = {}
         self._sift_window = 0
 
+    def push_stream(self, times_abs: np.ndarray,
+                    detectors: np.ndarray) -> None:
+        """Epoch-true streaming (the chopper role, SURVEY.md §3 #3): split a
+        continuous absolute-time event stream into device frames; every sift
+        artifact is addressed by the real frame id (epoch id = frame >> 3)."""
+        from qtpu.framing import split_epochs
+        for fid, t, d in split_epochs(times_abs, detectors):
+            self._push_window(fid, t, d)
+
     def push_events(self, times_i32: np.ndarray, detectors: np.ndarray) -> None:
-        """One sift window of local detector events (already rebased)."""
+        """One sift window of local detector events (already rebased) —
+        fixed-cadence API for simulation-window-per-call callers."""
         w = self._sift_window
         self._sift_window += 1
+        self._push_window(w, times_i32, detectors)
+
+    def _push_window(self, w: int, times_i32: np.ndarray,
+                     detectors: np.ndarray) -> None:
         basis = (detectors >> 1) & 1
         bits = detectors & 1
         self._window_bits[w] = bits.astype(np.uint8)
@@ -103,12 +117,41 @@ class BobChain:
         self._pending_timing: dict[int, TimingBasis] = {}
         self._sift_window = 0
         self.offset: Optional[int] = None
+        # Per-frame sifting diagnostics (the reference getrate role,
+        # SURVEY.md §3 #9): coincidence/accidental counts, basis-match and
+        # sift ratios, servo residual.
+        self.sift_stats: list[dict] = []
+
+    def push_stream(self, times_abs: np.ndarray,
+                    detectors: np.ndarray) -> None:
+        """Epoch-true streaming (the chopper2 role): frames by real ids."""
+        from qtpu.framing import split_epochs
+        top = None
+        for fid, t, d in split_epochs(times_abs, detectors):
+            self._push_window(fid, t, d)
+            top = fid
+        if top is None:
+            return
+        # Frames the peer announced but we never detected events in (and the
+        # stream has moved past): reply with an empty sift index so her raw
+        # key there is dropped symmetrically.
+        for w in [w for w in self._pending_timing if w < top]:
+            self._pending_timing.pop(w)
+            self.link.send(SiftIndex(window_id=w,
+                                     indices=np.zeros(0, np.int32)))
+        # And frames we detected but the peer never announces: bounded GC.
+        for w in [w for w in self._events if w < top - 8]:
+            self._events.pop(w)
 
     def push_events(self, times_i32: np.ndarray, detectors: np.ndarray) -> None:
         w = self._sift_window
+        self._sift_window += 1
+        self._push_window(w, times_i32, detectors)
+
+    def _push_window(self, w: int, times_i32: np.ndarray,
+                     detectors: np.ndarray) -> None:
         self._events[w] = (
             np.asarray(times_i32, np.int32), np.asarray(detectors, np.uint8))
-        self._sift_window += 1
         # The peer's timing info may have raced ahead of local acquisition
         # (two-process mode); process it now that our events exist.
         if w in self._pending_timing:
@@ -143,7 +186,8 @@ class BobChain:
         ta = jnp.asarray(msg.times)
         tb = jnp.asarray(times_b)
         if self.offset is None:
-            span = int(self.config.window_s * 1e9 * TIME_UNITS_PER_NS)
+            span = min(int(self.config.window_s * 1e9 * TIME_UNITS_PER_NS),
+                       sift.MAX_SPAN)
             self.offset = int(sift.pfind(ta, tb, span,
                                          num_bins=self.config.pfind_bins))
         r = sift.coincidence_match(
@@ -151,12 +195,31 @@ class BobChain:
             tb, jnp.asarray(basis_b), jnp.asarray(bits_b),
             jnp.int32(self.offset), self.config.coincidence_window)
         # Drift servo: track the residual for the next window.
-        self.offset += int(self.config.servo_gain * float(r.residual))
-        sifted_mask = np.asarray(r.matched) & np.asarray(r.basis_ok)
+        residual = float(r.residual)
+        self.offset += int(self.config.servo_gain * residual)
+        matched = np.asarray(r.matched)
+        sifted_mask = matched & np.asarray(r.basis_ok)
         idx = np.flatnonzero(sifted_mask).astype(np.int32)
         bob_bits = np.asarray(r.bob_bits)[idx]
         self.ec.push_sifted(bob_bits.astype(np.uint8))
         self.link.send(SiftIndex(window_id=msg.window_id, indices=idx))
+        # getrate diagnostics: accidentals estimated from the uniform-rate
+        # expectation (Na*Nb*2w/span — the classic accidental-coincidence
+        # formula on the frame).
+        na, nb = int(len(msg.times)), int(len(times_b))
+        span = max(1, int(tb.max()) if nb else 1)
+        acc = na * nb * 2.0 * self.config.coincidence_window / span
+        self.sift_stats.append({
+            "window_id": int(msg.window_id),
+            "alice_events": na, "bob_events": nb,
+            "coincidences": int(matched.sum()),
+            "accidentals_est": round(acc, 2),
+            "sifted_bits": int(idx.size),
+            "basis_match_ratio": round(float(sifted_mask.sum())
+                                       / max(1, int(matched.sum())), 4),
+            "servo_residual_units": round(residual, 3),
+            "offset_units": int(self.offset),
+        })
 
 
 def run_chain_loopback(config: ChainConfig, num_windows: int = 30,
@@ -173,11 +236,18 @@ def run_chain_loopback(config: ChainConfig, num_windows: int = 30,
     alice = AliceChain(config, session_seed, la)
     bob = BobChain(config, session_seed, lb)
 
+    span_units = int(config.window_s * 1e9 * TIME_UNITS_PER_NS)
     for w in range(num_windows):
         ev: PairEvents = src.generate(rng, start_epoch=w)
-        alice.push_events(sift.rebase_times(ev.alice.times, 0),
-                          ev.alice.detectors)
-        bob.push_events(sift.rebase_times(ev.bob.times, 0), ev.bob.detectors)
+        # Epoch-true streaming: absolute times; the chains split the stream
+        # into device frames (epoch id = frame >> 3) themselves.
+        base = np.int64(w) * span_units
+        alice.push_stream(np.asarray(ev.alice.times[: ev.alice.count],
+                                     np.int64) + base,
+                          ev.alice.detectors[: ev.alice.count])
+        bob.push_stream(np.asarray(ev.bob.times[: ev.bob.count],
+                                   np.int64) + base,
+                        ev.bob.detectors[: ev.bob.count])
         # Pump both sides until quiescent before the next window arrives.
         for _ in range(10_000):
             progressed = bob.pump()

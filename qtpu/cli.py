@@ -55,19 +55,35 @@ def cmd_demo(cfg: RunConfig, args) -> int:
     from qtpu.metrics import MetricsLogger, RateMeter
 
     log = MetricsLogger(path=cfg.metrics_path or None)
+    meter = RateMeter()
     src = _build_chain_parts(cfg)
+    import time as _time
+    t0 = _time.time()
     alice, bob = run_chain_loopback(cfg.chain, num_windows=cfg.num_windows,
                                     source=src, seed=cfg.source.seed,
                                     session_seed=cfg.session_seed)
+    for s in bob.sift_stats:
+        log.log("sift", **s)
     for m in bob.ec.metrics:
         log.window(m)
+        meter.add(m.final_bits)
     ka, kb = alice.ec.final_key_bits(), bob.ec.final_key_bits()
     ok = np.array_equal(ka, kb)
+    st = bob.sift_stats
     summary = {
         "windows": bob.ec.window_id,
         "final_key_bits": int(len(ka)),
         "keys_identical": bool(ok),
         "acquired_offset_units": bob.offset,
+        "final_bits_per_s_wallclock": round(meter.total_bits
+                                            / max(1e-9, _time.time() - t0), 1),
+        "sift": {
+            "frames": len(st),
+            "coincidences": sum(s["coincidences"] for s in st),
+            "accidentals_est": round(sum(s["accidentals_est"] for s in st), 1),
+            "sifted_bits": sum(s["sifted_bits"] for s in st),
+            "servo_residual_last": st[-1]["servo_residual_units"] if st else None,
+        },
         "ledger": bob.ec.ledger.as_dict(),
     }
     print(json.dumps(summary, indent=2))

@@ -212,22 +212,27 @@ class Abort(Message):
 class TimingBasis(Message):
     """Alice's compressed timing + basis info for one sift window — the
     reference type-2 stream (SURVEY.md Appendix A), sent source → receiver
-    so costream can coincidence-match."""
+    so costream can coincidence-match.  Timing is delta-encoded at the
+    smallest byte width fitting the window's gaps (framing.pack_deltas);
+    the basis bits are packed.  window_id carries the device-frame id
+    (epoch id = frame id >> 3) when the chain runs epoch-true streaming."""
     times: np.ndarray    # (Na,) int32 device times (rebased to window start)
     basis: np.ndarray    # (Na,) uint8 0/1
     TYPE: ClassVar[MsgType] = MsgType.TIMING_BASIS
 
     def payload_bytes(self) -> bytes:
+        from qtpu.framing import pack_deltas
         n = len(self.times)
-        return (struct.pack("<I", n)
-                + np.asarray(self.times, np.int32).tobytes()
+        tb = pack_deltas(np.asarray(self.times, np.int64))
+        return (struct.pack("<II", n, len(tb)) + tb
                 + pack_bits(np.asarray(self.basis, np.uint8)).tobytes())
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "TimingBasis":
-        (n,) = struct.unpack_from("<I", data)
-        times = np.frombuffer(data[4:4 + 4 * n], np.int32)
-        words = np.frombuffer(data[4 + 4 * n:], np.uint32)
+        from qtpu.framing import unpack_deltas
+        n, tlen = struct.unpack_from("<II", data)
+        times = unpack_deltas(data[8:8 + tlen], n).astype(np.int32)
+        words = np.frombuffer(data[8 + tlen:], np.uint32)
         return cls(window_id=window_id, times=times,
                    basis=unpack_bits(words, n))
 

@@ -50,13 +50,29 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
     extra_short_bits: payload positions additionally pinned to known values
     (LLR ±inf) — the fine rate-adaptation mechanism; errors are counted on
     the remaining (true payload) positions only.
+
+    Device notes: the decoder is the Pallas kernel on TPU (same as the
+    production session); error flags are reduced ON DEVICE so only (B,)
+    scalars cross the (high-latency, tunneled) device→host link.
     """
+    import jax
     code = step.code
     ck = (id(step.code), max_iters, alg, alpha)
     if ck not in _cache:
-        _cache[ck] = (make_batch_encoder(code),
-                      make_batch_decoder(code, max_iters, alg, alpha))
-    enc, dec = _cache[ck]
+        if alpha == 0.8125 and alg in ("minsum", "layered"):
+            from qtpu.window_programs import _pick_decoder
+            dec = _pick_decoder(code, max_iters, alg, blocks)
+        else:
+            dec = make_batch_decoder(code, max_iters, alg, alpha)
+
+        @jax.jit
+        def run(llr, syn, x_pay, pay_idx):
+            res = dec(llr, syn)
+            errs = jnp.any(res.bits[:, pay_idx] != x_pay, axis=1)
+            return errs, res.iterations
+
+        _cache[ck] = (make_batch_encoder(code), run)
+    enc, run = _cache[ck]
     pay, pun, sho = _positions(step)
     rng = np.random.default_rng(seed)
     if extra_short_bits:
@@ -67,7 +83,7 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
         sho = np.concatenate([sho, xsho])
     B, n = blocks, code.n
     x = rng.integers(0, 2, (B, n)).astype(np.uint8)       # incl punct+short fill
-    syn = np.asarray(enc(jnp.asarray(x)))
+    syn = enc(jnp.asarray(x))
     noise = (rng.random((B, pay.size)) < qber).astype(np.uint8)
     y_pay = x[:, pay] ^ noise
     mag = np.float32(np.log((1.0 - qber) / qber))
@@ -75,10 +91,10 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
     llr[:, pay] = np.where(y_pay.astype(bool), -mag, mag)
     if sho.size:
         llr[:, sho] = np.where(x[:, sho].astype(bool), -BIG_LLR, BIG_LLR)
-    res = dec(jnp.asarray(llr), jnp.asarray(syn))
-    bits = np.asarray(res.bits)
-    errs = (bits[:, pay] != x[:, pay]).any(axis=1)
-    return float(errs.mean()), float(np.asarray(res.iterations).mean())
+    errs, iters = run(jnp.asarray(llr), syn, jnp.asarray(x[:, pay]),
+                      jnp.asarray(pay, jnp.int32))
+    return (float(np.asarray(errs).mean()),
+            float(np.asarray(iters).mean()))
 
 
 def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,

@@ -695,6 +695,27 @@ def make_rate_ladder(n: int, dv: int = 3,
     configuration shared by both parties.
     """
     steps = []
+    if family == "native3":
+        # DE-designed punctured protographs (qtpu.ldpc.designed): the rung
+        # set is fixed by NATIVE3_LADDER (target_rates is ignored — the
+        # designed rate grid IS the ladder); only the lift size z = n/32
+        # and the shift seed vary.
+        from qtpu.ldpc.designed import DESIGNED_GRAPHS, NATIVE3_LADDER
+        nb3 = 32
+        assert n % nb3 == 0, f"native3 needs 32 | n, got n={n}"
+        zz = n // nb3
+        for mb3, p3 in NATIVE3_LADDER:
+            g = DESIGNED_GRAPHS[(nb3, mb3, p3)]
+            code = make_qc_from_base(g["edge_row"], g["edge_col"], mb3, nb3,
+                                     z=zz, seed=seed + 8 * mb3 + p3)
+            steps.append(RateStep(
+                name=f"r{g['rate_eff']:.3f}", code=code,
+                punct_cols=tuple(range(nb3 - p3, nb3)), short_cols=()))
+        max_qber, short_grid, short_ceilings = _attach_calibration(
+            len(steps), n, dv, alg, family)
+        return RateLadder(steps=tuple(steps), max_qber=max_qber,
+                          short_grid=short_grid,
+                          short_ceilings=short_ceilings)
     if family in ("native", "native2"):
         profile_fn = irregular_profile_v2 if family == "native2" else irregular_profile
         nb_native = 32 if n % 32 == 0 and n // 32 >= 64 else 16

@@ -65,11 +65,16 @@ def measure_fer(step: RateStep, qber: float, blocks: int = 256, seed: int = 0,
         else:
             dec = make_batch_decoder(code, max_iters, alg, alpha)
 
+        # The expensive decode compiles ONCE per rung; the error reduction
+        # is a separate tiny jit (recompiled per shortening fraction's
+        # payload shape, which costs seconds, not minutes).
         @jax.jit
+        def err_reduce(bits, x_pay, pay_idx):
+            return jnp.any(bits[:, pay_idx] != x_pay, axis=1)
+
         def run(llr, syn, x_pay, pay_idx):
             res = dec(llr, syn)
-            errs = jnp.any(res.bits[:, pay_idx] != x_pay, axis=1)
-            return errs, res.iterations
+            return err_reduce(res.bits, x_pay, pay_idx), res.iterations
 
         _cache[ck] = (make_batch_encoder(code), run)
     enc, run = _cache[ck]

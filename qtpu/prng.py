@@ -32,7 +32,13 @@ PathElem = Union[str, int]
 
 @functools.lru_cache(maxsize=1)
 def _cpu():
-    return jax.devices("cpu")[0]
+    # local_devices, not devices: in a multi-process (jax.distributed) run
+    # the first GLOBAL cpu device may belong to another process, and keys
+    # committed there cannot be read back.
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.devices("cpu")[0]
 
 # Protocol PRNG ops are tiny and latency-bound; running them eagerly on an
 # accelerator — worse, a TUNNELED one — costs a network round trip per op

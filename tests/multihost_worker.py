@@ -87,7 +87,9 @@ mag = np.float32(np.log(0.98 / 0.02))
 hat, ok, iters, errs, ledger = progs.bob(
     mk(bob, sh), mk(xmask, rep), mk(shortfill, rep),
     mk(syn_host, sh), mk(exp_hash_host, sh), mk(mag, rep), mk(vkey, rep))
-gl = np.asarray(ledger)
+# The ledger is replicated over the GLOBAL mesh; a cross-process fetch is
+# not allowed — any local shard holds the full (psum'd) value.
+gl = np.asarray(ledger.addressable_shards[0].data)
 idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
 assert gl[idx["syndrome_bits"]] == B * code.m
 assert gl[idx["blocks_ok"]] + gl[idx["blocks_failed"]] == B

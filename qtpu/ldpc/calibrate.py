@@ -215,6 +215,16 @@ DEFAULT_CALIBRATION: dict[tuple[int, int, str, str], tuple[float, ...]] = {
     (16384, 3, "layered", "native2"): {
         7: (0.0775, 0.0625, 0.0475, 0.0325, 0.02, 0.0125, 0.0075),
     },
+    # native3 = DE-designed punctured protographs (qtpu.ldpc.designed,
+    # round-2): 10 rungs at rate_eff 0.533-0.903.  At matched rates the
+    # punctured rungs beat native2 decisively where it counts: rate 0.742
+    # decodes at 3.0% where native2's 0.719 stopped at 3.25% (same ceiling,
+    # +2.3% rate), rate 0.767 reaches 2.75%, and rate 0.533 reaches 8.0%
+    # (vs 7.75% at rate 0.5).  (TPU v5 lite 2026-08-19, blocks=256,
+    # FER<=5%, max_iters=60.)
+    (16384, 3, "layered", "native3"): (
+        0.08, 0.0525, 0.04, 0.0325, 0.03, 0.0275, 0.0275, 0.015, 0.01,
+        0.005),
 }
 
 # Fine rate adaptation: per-rung QBER ceiling at each extra-shortening
@@ -276,6 +286,19 @@ DEFAULT_SHORT_CALIBRATION: dict[
              (0.0125, 0.0125, 0.015, 0.015, 0.0175, 0.0175),
              (0.0075, 0.0075, 0.01, 0.01, 0.0125, 0.0125))),
     },
+    # native3 DE-designed ladder (TPU v5 lite 2026-08-19, this round).
+    (16384, 3, "layered", "native3"): (
+        (0.0, 0.05, 0.10, 0.15, 0.20, 0.25),
+        ((0.08, 0.0875, 0.095, 0.105, 0.115, 0.1275),
+         (0.0525, 0.0575, 0.0625, 0.07, 0.0775, 0.085),
+         (0.04, 0.0425, 0.0475, 0.0525, 0.0575, 0.0625),
+         (0.0325, 0.0375, 0.04, 0.0425, 0.0475, 0.0525),
+         (0.03, 0.035, 0.0375, 0.04, 0.0425, 0.0475),
+         (0.0275, 0.03, 0.0325, 0.035, 0.0375, 0.0425),
+         (0.0275, 0.03, 0.0325, 0.035, 0.0375, 0.0425),
+         (0.015, 0.015, 0.0175, 0.0175, 0.02, 0.0225),
+         (0.01, 0.01, 0.0125, 0.0125, 0.015, 0.015),
+         (0.005, 0.0075, 0.0075, 0.0075, 0.0075, 0.01))),
 }
 
 

@@ -22,7 +22,8 @@ from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
 from qtpu.ldpc.encode import make_batch_encoder
 
 __all__ = ["measure_fer", "calibrate_ladder", "calibrate_short",
-           "SHORT_FRACS", "DEFAULT_CALIBRATION", "DEFAULT_SHORT_CALIBRATION"]
+           "ceiling_bisect", "SHORT_FRACS", "DEFAULT_CALIBRATION",
+           "DEFAULT_SHORT_CALIBRATION", "FINE_CALIBRATION"]
 
 
 def _positions(step: RateStep):
@@ -125,6 +126,37 @@ def calibrate_ladder(ladder: RateLadder, fer_target: float = 0.05,
             print(f"{step.name}: max_qber={best:.4f}")
         out.append(best)
     return tuple(out)
+
+
+def ceiling_bisect(step: RateStep, lo: float, hi: float,
+                   fer_target: float = 0.05, blocks: int = 256,
+                   tol: float = 5e-4, max_iters: int = 60,
+                   alg: str = "layered", extra_short_bits: int = 0,
+                   seed_base: int = 0) -> float:
+    """Largest QBER with FER <= target, by bisection to ``tol``.
+
+    The 0.25%-grid walk of calibrate_ladder quantizes away sub-grid gains
+    (round-2: n=65536 improves every rung by ~0.1-0.2% which the grid can't
+    see, and rate selection must then carry a whole-grid-step guard).  Two
+    measurements at the same q use different seeds, so a noisy FER near the
+    waterfall bisects to the conservative side on average.
+    """
+    def fer(q: float) -> float:
+        f, _ = measure_fer(step, q, blocks, seed=seed_base + int(q * 4e6),
+                           max_iters=max_iters, alg=alg,
+                           extra_short_bits=extra_short_bits)
+        return f
+    if fer(lo) > fer_target:
+        return 0.0
+    if fer(hi) <= fer_target:
+        return hi
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        if fer(mid) <= fer_target:
+            lo = mid
+        else:
+            hi = mid
+    return round(lo, 5)
 
 
 SHORT_FRACS = (0.0, 0.05, 0.10, 0.15, 0.20, 0.25)
@@ -299,6 +331,15 @@ DEFAULT_SHORT_CALIBRATION: dict[
          (0.015, 0.015, 0.0175, 0.0175, 0.02, 0.0225),
          (0.01, 0.01, 0.0125, 0.0125, 0.015, 0.015),
          (0.005, 0.0075, 0.0075, 0.0075, 0.0075, 0.01))),
+}
+
+
+# Bisection-measured calibration at 0.05% resolution (ceiling_bisect;
+# benchmarks/calibrate_fine.py).  Wins over the grid tables above; the
+# resolution travels as calib_step so rate selection's guard matches it.
+# Key: (n, dv, alg, family) -> {"max_qber", "short_grid", "short_ceilings",
+# "calib_step"}.
+FINE_CALIBRATION: dict[tuple[int, int, str, str], dict] = {
 }
 
 

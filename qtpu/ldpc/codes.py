@@ -509,6 +509,9 @@ class RateLadder:
     # the measured QBER ceiling at each grid fraction (non-decreasing).
     short_grid: Optional[tuple[float, ...]] = None
     short_ceilings: Optional[tuple[tuple[float, ...], ...]] = None
+    # Resolution of the measured ceilings (select_fine's default guard):
+    # 0.25% for grid-walk calibration, 0.05% for bisection calibration.
+    calib_step: float = 0.0025
 
     def select(self, qber: float, efficiency: float = 1.4) -> int:
         """Return the index of the chosen step for a given QBER estimate.
@@ -551,7 +554,7 @@ class RateLadder:
     def select_fine(self, qber: float, granularity: int = 32,
                     efficiency: float = 1.4,
                     overhead_bits: int = 0,
-                    guard: float = 0.0025) -> tuple[int, int]:
+                    guard: Optional[float] = None) -> tuple[int, int]:
         """Pick (rung, extra shortened bits per block) maximizing net key.
 
         For each rung, the minimal extra shortening that lifts its measured
@@ -570,7 +573,7 @@ class RateLadder:
         """
         if self.short_grid is None or self.short_ceilings is None:
             return self.select(qber, efficiency), 0
-        qber = qber + guard
+        qber = qber + (self.calib_step if guard is None else guard)
         n = self.steps[0].code.n
         best: Optional[tuple[float, int, int]] = None
         for idx, step in enumerate(self.steps):
@@ -602,14 +605,22 @@ def _attach_calibration(num_steps: int, n: int, dv: int, alg: str,
                         family: str):
     """Look up frozen calibration for this ladder configuration.
 
+    Bisection-measured FINE tables (0.05% resolution) win over the legacy
+    0.25%-grid tables; the resolution travels with the data so rate
+    selection's safety guard matches how the ceilings were measured.
     Table values are either a flat tuple (one rung-count measured) or a
     {num_rungs: value} dict when several rung counts exist for the same
-    (n, dv, alg, family) — e.g. the 5-rung default and 7-rung production
-    native ladders.  Returns (max_qber, short_grid, short_ceilings),
-    any of which may be None.
+    (n, dv, alg, family).  Returns (max_qber, short_grid, short_ceilings,
+    calib_step); the first three may be None.
     """
     from qtpu.ldpc.calibrate import (DEFAULT_CALIBRATION,
-                                     DEFAULT_SHORT_CALIBRATION)
+                                     DEFAULT_SHORT_CALIBRATION,
+                                     FINE_CALIBRATION)
+    fine = FINE_CALIBRATION.get((n, dv, alg, family))
+    if fine is not None and len(fine["max_qber"]) == num_steps:
+        return (tuple(fine["max_qber"]), tuple(fine["short_grid"]),
+                tuple(tuple(c) for c in fine["short_ceilings"]),
+                fine.get("calib_step", 0.0005))
     max_qber = DEFAULT_CALIBRATION.get((n, dv, alg, family))
     if isinstance(max_qber, dict):
         max_qber = max_qber.get(num_steps)
@@ -621,7 +632,7 @@ def _attach_calibration(num_steps: int, n: int, dv: int, alg: str,
         short_cal = short_cal.get(num_steps)
     if short_cal is not None and len(short_cal[1]) == num_steps:
         short_grid, short_ceilings = short_cal
-    return max_qber, short_grid, short_ceilings
+    return max_qber, short_grid, short_ceilings, 0.0025
 
 
 def irregular_profile(nb: int, mb: int) -> list[int]:
@@ -711,11 +722,11 @@ def make_rate_ladder(n: int, dv: int = 3,
             steps.append(RateStep(
                 name=f"r{g['rate_eff']:.3f}", code=code,
                 punct_cols=tuple(range(nb3 - p3, nb3)), short_cols=()))
-        max_qber, short_grid, short_ceilings = _attach_calibration(
+        max_qber, short_grid, short_ceilings, cstep = _attach_calibration(
             len(steps), n, dv, alg, family)
         return RateLadder(steps=tuple(steps), max_qber=max_qber,
                           short_grid=short_grid,
-                          short_ceilings=short_ceilings)
+                          short_ceilings=short_ceilings, calib_step=cstep)
     if family in ("native", "native2"):
         profile_fn = irregular_profile_v2 if family == "native2" else irregular_profile
         nb_native = 32 if n % 32 == 0 and n // 32 >= 64 else 16
@@ -731,10 +742,11 @@ def make_rate_ladder(n: int, dv: int = 3,
                 z=zz, seed=seed + mb_mother)
             steps.append(RateStep(name=f"r{code.rate:.3f}", code=code,
                                   punct_cols=(), short_cols=()))
-        max_qber, short_grid, short_ceilings = _attach_calibration(
+        max_qber, short_grid, short_ceilings, cstep = _attach_calibration(
             len(steps), n, dv, alg, family)
         return RateLadder(steps=tuple(steps), max_qber=max_qber,
-                          short_grid=short_grid, short_ceilings=short_ceilings)
+                          short_grid=short_grid,
+                          short_ceilings=short_ceilings, calib_step=cstep)
     probe = make_regular_code(n, dv, 2 * dv, z=z, seed=seed)  # fixes nb, z
     nb, zz = probe.nb, probe.z
     # dc must divide nb*dv and stay <= nb (else a simple base graph can't
@@ -776,7 +788,8 @@ def make_rate_ladder(n: int, dv: int = 3,
                                   short_cols=tuple(int(c) for c in col_order[:s_cols])))
     # Attach measured QBER ceilings when this configuration has been
     # calibrated (qtpu.ldpc.calibrate).
-    max_qber, short_grid, short_ceilings = _attach_calibration(
+    max_qber, short_grid, short_ceilings, cstep = _attach_calibration(
         len(steps), n, dv, alg, family)
     return RateLadder(steps=tuple(steps), max_qber=max_qber,
-                      short_grid=short_grid, short_ceilings=short_ceilings)
+                      short_grid=short_grid, short_ceilings=short_ceilings,
+                      calib_step=cstep)

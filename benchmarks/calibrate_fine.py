@@ -29,11 +29,13 @@ def main() -> None:
     family = sys.argv[2] if len(sys.argv) > 2 else "native3"
     blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 192
     lad = make_rate_ladder(n, family=family, alg="layered")
-    # Bracket each rung's bisection around its coarse ceiling (or the DE
-    # threshold when uncalibrated): the ceiling can't exceed the asymptote
-    # and rarely trails it by >1.5%.
-    coarse = lad.max_qber or tuple(0.9 * s.effective_rate() * 0 + 0.10
-                                   for s in lad.steps)
+    # Bracket each rung's bisection around its coarse ceiling; a block length
+    # without its own table borrows the n=16384 table (finite-length shifts
+    # are well under the ±(0.4%, 0.6%) bracket margins).
+    coarse = lad.max_qber
+    if coarse is None:
+        from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION
+        coarse = DEFAULT_CALIBRATION[(16384, 3, "layered", family)]
     out_ceil = []
     out_curves = []
     t00 = time.time()

@@ -340,6 +340,28 @@ DEFAULT_SHORT_CALIBRATION: dict[
 # Key: (n, dv, alg, family) -> {"max_qber", "short_grid", "short_ceilings",
 # "calib_step"}.
 FINE_CALIBRATION: dict[tuple[int, int, str, str], dict] = {
+    # native3 DE-designed ladder at n=65536 (TPU v5 lite 2026-08-19,
+    # blocks=192, FER<=5%, layered, max_iters=60): ceilings improve on the
+    # n=16384 grid values by 0.2-0.6% at the operating rungs (rate 0.742
+    # reaches 3.38%, 0.767 reaches 2.94%, 0.871 reaches 1.19%) — exactly the
+    # sub-grid gains the 0.25% grid quantized away.
+    (65536, 3, "layered", "native3"): {
+        "max_qber": (0.08288, 0.05819, 0.04319, 0.03381, 0.03381, 0.02975,
+                     0.02944, 0.01663, 0.01194, 0.00781),
+        "short_grid": (0.0, 0.05, 0.1, 0.15, 0.2, 0.25),
+        "short_ceilings": (
+            (0.08288, 0.09008, 0.0986, 0.10712, 0.11859, 0.13146),
+            (0.05819, 0.0631, 0.06833, 0.07422, 0.08077, 0.08961),
+            (0.04319, 0.04646, 0.05038, 0.05463, 0.05986, 0.06608),
+            (0.03381, 0.03642, 0.04001, 0.04557, 0.04884, 0.0544),
+            (0.03381, 0.03609, 0.03936, 0.0423, 0.04655, 0.0508),
+            (0.02975, 0.03105, 0.03432, 0.03759, 0.04118, 0.0451),
+            (0.02944, 0.03172, 0.034, 0.03661, 0.0402, 0.04478),
+            (0.01663, 0.0176, 0.01922, 0.02085, 0.02247, 0.02508),
+            (0.01194, 0.01258, 0.01388, 0.01485, 0.01615, 0.01777),
+            (0.00781, 0.00812, 0.00876, 0.00973, 0.0107, 0.01167)),
+        "calib_step": 0.0005,
+    },
 }
 
 

@@ -63,15 +63,14 @@ __all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback",
 
 def production_config(**overrides) -> "PipelineConfig":
     """The tuned production configuration (lowest measured leakage):
-    n=16384 blocks on the 7-rung native2-family ladder (irregular_profile_v2
-    mothers — calibrated 2026-08-19, +0.25-0.5% QBER ceiling over "native"
-    on the 1-5% operating rungs), 64-block windows (1 Mbit of payload per
-    decode step), adaptive QBER disclosure (8k max / 512 floor).  Override
-    any field via kwargs."""
-    from qtpu.ldpc.codes import PRODUCTION_RATES
-    base = dict(n=16384, family="native2", target_rates=PRODUCTION_RATES,
-                blocks_per_window=64, qber_test_bits=8192,
-                qber_segment_bits=32768)
+    n=65536 blocks on the 10-rung native3 ladder (DE-designed punctured
+    protographs, qtpu.ldpc.designed; fine-calibrated at 0.05% resolution —
+    the rate-0.742 rung decodes at 3.38% QBER), 16-block windows (1 Mbit of
+    payload per decode step), adaptive QBER disclosure (8k max / 512 floor).
+    Override any field via kwargs; family="native2", n=16384 reproduces the
+    round-1 production setup."""
+    base = dict(n=65536, family="native3", blocks_per_window=16,
+                qber_test_bits=8192, qber_segment_bits=32768)
     base.update(overrides)
     return PipelineConfig(**base)
 

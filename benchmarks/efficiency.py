@@ -38,7 +38,7 @@ def main() -> None:
     rng = np.random.default_rng(1)
     rows = []
     for q in (0.01, 0.02, 0.03, 0.05, 0.07):
-        total = max(800_000, 3 * (cfg.qber_segment_bits + bpw * n))
+        total = max(800_000, 8 * (cfg.qber_segment_bits + bpw * n))
         a_bits = rng.integers(0, 2, total).astype(np.uint8)
         b_bits = a_bits ^ (rng.random(total) < q).astype(np.uint8)
         t0 = time.time()

@@ -49,7 +49,7 @@ def main() -> None:
     noise = (rng.random((B, pay.size)) < qber).astype(np.uint8)
     y[:, pay] ^= noise
     syn = make_batch_encoder(code)(jnp.asarray(x))
-    llr = np.asarray(channel_llr(jnp.asarray(y), qber))
+    llr = np.array(channel_llr(jnp.asarray(y), qber))  # writable host copy
     llr[:, [c for cc in step.punct_cols
             for c in range(cc * code.z, (cc + 1) * code.z)]] = 0.0
     llr = jnp.asarray(llr)
@@ -64,13 +64,11 @@ def main() -> None:
                 cands.append((layout, bt))
     for layout, bt in sorted(set(cands)):
         try:
-            dec = make_pallas_decoder(code, max_iters=30, alg="layered",
+            dec = make_pallas_decoder(code, max_iters=60, alg="layered",
                                       batch_tile=bt, layout=layout)
             r = dec(llr, syn)
             r.bits.block_until_ready()
-            if not bool(np.asarray(r.converged).all()):
-                results[f"{layout}/bt{bt}"] = "no-converge"
-                continue
+            conv = float(np.asarray(r.converged).mean())
             reps = 20
             t0 = time.perf_counter()
             for _ in range(reps):
@@ -80,6 +78,7 @@ def main() -> None:
             results[f"{layout}/bt{bt}"] = {
                 "ms": round(dt * 1e3, 3),
                 "gbit_per_s": round(B * code.n / dt / 1e9, 3),
+                "converged": round(conv, 4),
             }
             print(f"{layout}/bt{bt}: {results[f'{layout}/bt{bt}']}",
                   flush=True)

@@ -554,7 +554,10 @@ class AliceSession(_Party):
         payload_dev = jnp.asarray(payload)
         syn, hashes = prog.alice(payload_dev, jnp.asarray(shortfill),
                                  jnp.asarray(punct), self._verify_key(w))
-        syn, hashes = np.asarray(syn), np.asarray(hashes)
+        # syn/hashes stay device handles: a serializing link (TCP wire)
+        # fetches them in pack_bits; the in-process DirectLoopbackLink
+        # passes them straight to Bob's decode program (zero D2H — the
+        # classical channel of a deployment is a NIC, not the PCIe bus).
         self.ledger.add(syndrome_bits=step.leaked_bits() * B,
                         verify_hash_bits=self.config.verify_hash_bits * B)
         st.update(stage="syndromes_sent", rate_index=r, short_bits=s,
@@ -754,17 +757,16 @@ class BobSession(_Party):
             jnp.asarray(msg.verify_hashes), jnp.float32(mag),
             self._verify_key(w))
         if self._mesh is not None:
-            payload_hat, ok_dev, iters, errs, gled = out
+            payload_hat, stats_dev, gled = out
             st["gled_dev"] = gled
         else:
-            payload_hat, ok_dev, iters, errs = out
+            payload_hat, stats_dev = out
             self.ledger.add(syndrome_bits=step.leaked_bits() * B,
                             verify_hash_bits=self.config.verify_hash_bits * B)
         st.update(stage="decoding", payload_rx=payload_rx, xmask=xmask,
                   shortfill=shortfill, syndromes=msg.syndromes,
                   expected_hashes=msg.verify_hashes,
-                  payload_hat_dev=payload_hat, ok_dev=ok_dev,
-                  iters_dev=iters, errs_dev=errs, round=0,
+                  payload_hat_dev=payload_hat, stats_dev=stats_dev, round=0,
                   extra_leak=np.zeros(B, np.int64))
         self._inflight[w] = st
         self._pending.append(w)
@@ -772,10 +774,10 @@ class BobSession(_Party):
     def _resolve_decode(self, w: int, st: dict) -> None:
         """Second half of _on_syndromes: force the device results, ack."""
         B = self.config.blocks_per_window
-        ok = np.asarray(st.pop("ok_dev"))
-        st.update(stage="decoded", ok=ok,
-                  iters=np.asarray(st.pop("iters_dev")),
-                  errs=np.asarray(st.pop("errs_dev")))
+        stats = np.asarray(st.pop("stats_dev"))  # ONE D2H: (B, 3) int32
+        ok = stats[:, 0].astype(bool)
+        st.update(stage="decoded", ok=ok, iters=stats[:, 1],
+                  errs=stats[:, 2].astype(np.int64))
         if "gled_dev" in st:
             # Mesh mode: the decode-stage leakage comes from the device's
             # psum'd global ledger (the REAL accounting, BASELINE config 5);
@@ -835,11 +837,13 @@ class BobSession(_Party):
             jnp.asarray(st["expected_hashes"]), jnp.float32(mag),
             self._verify_key(w))
         if self._mesh is not None:
-            payload_hat2, ok2_dev, iters2, errs2, _ = out  # retry leakage is
+            payload_hat2, stats2_dev, _ = out  # retry leakage is
             # charged from the RetryDisclose message below, not the gled
         else:
-            payload_hat2, ok2_dev, iters2, errs2 = out
-        ok_new = np.asarray(ok2_dev)
+            payload_hat2, stats2_dev = out
+        stats2 = np.asarray(stats2_dev)
+        ok_new = stats2[:, 0].astype(bool)
+        iters2, errs2 = stats2[:, 1], stats2[:, 2].astype(np.int64)
         # Previously-ok blocks keep their result; failed ones take the retry.
         ok = st["ok"] | (failed & ok_new)
         keep_prev = jnp.asarray(~failed)
@@ -847,13 +851,13 @@ class BobSession(_Party):
                                   payload_hat2)
         # Error counts: retried rows count decode-vs-received errors PLUS the
         # disclosed positions Alice's bits corrected in the rx copy.
-        errs = np.where(failed, np.asarray(errs2) + changed, st["errs"])
+        errs = np.where(failed, errs2 + changed, st["errs"])
         extra = st["extra_leak"]
         extra[failed] += msg.num_bits
         self.ledger.add(syndrome_bits=msg.num_bits * int(failed.sum()))
         st.update(payload_hat_dev=payload_final, ok=ok, round=msg.round + 1,
                   errs=errs,
-                  iters=np.maximum(st["iters"], np.asarray(iters2)))
+                  iters=np.maximum(st["iters"], iters2))
         if (~ok).any() and st["round"] < self.config.max_retries:
             self._inflight[w] = st
             self.link.send(VerifyAck(window_id=w, num_blocks=B,

@@ -4,105 +4,115 @@ Reference capability: ``errorcorrection/rnd.c`` (SURVEY.md §3 #16) — a
 deterministic PRNG both parties run from exchanged seeds so permutations,
 test-bit choices and privacy-amplification matrices agree bit-exactly.
 
-TPU-first design: `jax.random` threefry counter-based keys with an explicit,
-documented key-derivation tree.  Every protocol use-site derives its key as
+Design (round-2 rework): the host-side protocol PRNG is PURE NUMPY —
+a SHA-256 key-derivation tree plus Philox counter-based bit generation.
+Every protocol use-site derives its key as
 
     derive(root, "purpose", block_id, ...)
 
-so Alice and Bob obtain identical randomness from the exchanged 64-bit session
-seed without any further coordination, and the derivation is order-independent
-(no hidden global stream position, unlike the reference's LFSR).
+so Alice and Bob obtain identical randomness from the exchanged 64-bit
+session seed with zero coordination, and the derivation is
+order-independent (no hidden global stream position, unlike the
+reference's LFSR).
+
+Why not jax.random on the host: protocol PRNG calls are tiny and
+latency-bound; eager jax dispatches cost ~1 ms each (and a tunneled
+accelerator turns them into network round trips — round-2 measured
+~0.5 s/window before pinning to CPU, and ~30 ms per eager
+``jax.random.choice`` after).  SHA-256 + Philox is ~microseconds, has a
+stable cross-version specification (a cryptographic hash and a published
+counter cipher), and is arguably the more defensible choice for a QKD
+protocol than an ML library's stream layout.
+
+Keys are ``np.ndarray`` of 2 uint32 (64 bits of derived key material).
+DEVICE programs receive this raw data via :func:`key_data` and wrap it
+with ``jax.random.wrap_key_data`` (threefry) for on-device per-block seed
+expansion — see qtpu.window_programs._seed_rows; that half of the tree
+runs as part of the fused jitted programs, not eagerly.
 """
 
 from __future__ import annotations
 
-import functools
-import zlib
+import hashlib
+import struct
 from typing import Union
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["root_key", "derive", "random_bits", "subset_indices",
-           "toeplitz_seed_bits", "key_data"]
+           "toeplitz_seed_bits", "key_data", "key_to_numpy_seed"]
 
 PathElem = Union[str, int]
 
 
-@functools.lru_cache(maxsize=1)
-def _cpu():
-    # local_devices, not devices: in a multi-process (jax.distributed) run
-    # the first GLOBAL cpu device may belong to another process, and keys
-    # committed there cannot be read back.
-    try:
-        return jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        return jax.devices("cpu")[0]
-
-# Protocol PRNG ops are tiny and latency-bound; running them eagerly on an
-# accelerator — worse, a TUNNELED one — costs a network round trip per op
-# (round-2 measurement: ~0.5 s/window of pure PRNG dispatch).  Pin them to
-# the host CPU backend; device programs receive raw key data instead.
-
-
-def _tag(p: PathElem):
-    """Stable 32-bit tag for a path element (strings via crc32).
-
-    Traced integer arrays (e.g. block ids under vmap) pass through unchanged —
-    fold_in accepts them directly.
-    """
+def _tag_bytes(p: PathElem) -> bytes:
+    """Unambiguous byte encoding of a path element (type- and
+    length-prefixed so e.g. "ab"/1 can't collide with "a"/"b1")."""
     if isinstance(p, str):
-        return zlib.crc32(p.encode("utf-8")) & 0x7FFFFFFF
+        b = p.encode("utf-8")
+        return b"s" + struct.pack("<I", len(b)) + b
     if isinstance(p, (int, np.integer)):
-        return int(p) & 0x7FFFFFFF
-    return p  # jax scalar (possibly traced)
+        return b"i" + struct.pack("<q", int(p))
+    raise TypeError(f"path elements must be str/int, got {type(p)!r}")
 
 
-def root_key(seed: int) -> jax.Array:
-    """Session root key from the exchanged seed (threefry, counter-based)."""
-    with jax.default_device(_cpu()):
-        return jax.random.key(seed & 0xFFFFFFFFFFFFFFFF)
+def _mix(data: bytes) -> np.ndarray:
+    """64-bit key material from arbitrary bytes (first 8 bytes of SHA-256),
+    as the uint32[2] layout device threefry keys use."""
+    h = hashlib.sha256(data).digest()[:8]
+    return np.frombuffer(h, dtype=np.uint32).copy()
 
 
-def derive(key: jax.Array, *path: PathElem) -> jax.Array:
-    """Derive a sub-key along a labeled path; commutative-free and collision-safe
-    for distinct paths (fold_in of 32-bit tags)."""
-    with jax.default_device(_cpu()):
-        for p in path:
-            key = jax.random.fold_in(key, _tag(p))
-        return key
+def root_key(seed: int) -> np.ndarray:
+    """Session root key from the exchanged seed."""
+    return _mix(b"qtpu-root" + struct.pack("<Q", seed & 0xFFFFFFFFFFFFFFFF))
 
 
-def key_data(key: jax.Array) -> np.ndarray:
-    """Raw key data (uint32 numpy) — the form device programs take keys in
-    (re-wrapped inside jit with jax.random.wrap_key_data), so that a
-    CPU-resident protocol key never forces an eager accelerator op."""
-    return np.asarray(jax.random.key_data(key))
+def derive(key: np.ndarray, *path: PathElem) -> np.ndarray:
+    """Derive a sub-key along a labeled path; distinct paths give
+    independent keys (SHA-256 chaining, 64-bit truncation)."""
+    data = np.asarray(key, np.uint32).tobytes()
+    for p in path:
+        data = hashlib.sha256(data + _tag_bytes(p)).digest()[:8]
+    return np.frombuffer(data, dtype=np.uint32).copy()
 
 
-def random_bits(key: jax.Array, shape: tuple[int, ...]) -> np.ndarray:
-    """Uniform {0,1} uint8 bits of the given shape (host numpy)."""
-    with jax.default_device(_cpu()):
-        return np.asarray(jax.random.bernoulli(key, 0.5, shape)).astype(np.uint8)
+def key_data(key: np.ndarray) -> np.ndarray:
+    """Raw key data (uint32[2] numpy) — the form device programs take keys
+    in (re-wrapped inside jit with jax.random.wrap_key_data), so the host
+    protocol PRNG never dispatches eager accelerator ops."""
+    return np.asarray(key, np.uint32)
 
 
-def subset_indices(key: jax.Array, n: int, k: int) -> np.ndarray:
+def _generator(key: np.ndarray) -> np.random.Generator:
+    """Philox generator keyed by the full SHA-256 of the derived key (the
+    64-bit tree key is stretched to Philox's 256-bit key space)."""
+    digest = hashlib.sha256(b"qtpu-philox"
+                            + np.asarray(key, np.uint32).tobytes()).digest()
+    return np.random.Generator(
+        np.random.Philox(key=int.from_bytes(digest[:16], "little")))
+
+
+def random_bits(key: np.ndarray, shape: tuple[int, ...]) -> np.ndarray:
+    """Uniform {0,1} uint8 bits of the given shape."""
+    return _generator(key).integers(0, 2, size=shape, dtype=np.uint8)
+
+
+def subset_indices(key: np.ndarray, n: int, k: int) -> np.ndarray:
     """Choose k of n positions without replacement (QBER test bits).
 
     Deterministic given the key; both parties compute the same subset.
     """
-    with jax.default_device(_cpu()):
-        return np.asarray(jax.random.choice(key, n, shape=(k,), replace=False))
+    return _generator(key).choice(n, size=k, replace=False).astype(np.int64)
 
 
-def toeplitz_seed_bits(key: jax.Array, n_in: int, n_out: int) -> jax.Array:
+def toeplitz_seed_bits(key: np.ndarray, n_in: int, n_out: int) -> np.ndarray:
     """The n_in + n_out - 1 random bits defining a Toeplitz matrix row/col."""
     return random_bits(key, (n_in + n_out - 1,))
 
 
-def key_to_numpy_seed(key: jax.Array) -> int:
-    """Collapse a key to a 64-bit integer for host-side numpy RNGs (non-protocol
-    uses only — simulators, tests)."""
-    data = jax.random.key_data(key)
-    return int(np.asarray(data).astype(np.uint64).sum() & 0xFFFFFFFFFFFFFFFF)
+def key_to_numpy_seed(key: np.ndarray) -> int:
+    """Collapse a key to a 64-bit integer for host-side numpy RNGs
+    (non-protocol uses only — simulators, tests)."""
+    data = np.asarray(key, np.uint32).astype(np.uint64)
+    return int((data[0] << np.uint64(32) | data[1]) & np.uint64(0xFFFFFFFFFFFFFFFF))

@@ -58,7 +58,10 @@ def _toeplitz_hash(t_bits, x_bits, m):
 class WindowPrograms(NamedTuple):
     alice: callable     # (payload_full, shortfill, punct, vkey) -> (syn, hashes)
     bob: callable       # (payload_rx, xmask, shortfill, syn, exp_hashes, qmag,
-                        #  vkey) -> (payload_hat, ok, iters, err_counts)
+                        #  vkey) -> (payload_hat, stats[, gled])
+                        # stats: (B, 3) int32 [ok, iters, err_count] — ONE
+                        # small array so the host needs a single (async) D2H
+                        # per window instead of three
     pa: callable        # (payload, pakey) -> (B, l_max) uint8
     l_max: int
 
@@ -171,7 +174,9 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         hashes = _toeplitz_hash(_vseeds(vkey, b, row0), payload_hat, Vh)
         ok = jnp.all(hashes == exp_hashes, axis=1) & res.converged
         errs = jnp.sum((payload_hat ^ payload_rx).astype(jnp.int32), axis=1)
-        return payload_hat, ok, res.iterations, errs
+        stats = jnp.stack([ok.astype(jnp.int32),
+                           res.iterations.astype(jnp.int32), errs], axis=1)
+        return payload_hat, stats
 
     if mesh is None:
         @jax.jit
@@ -194,8 +199,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
             jax.shard_map, mesh=mesh,
             in_specs=(Psp(axis, None), Psp(), Psp(None, None),
                       Psp(axis, None), Psp(axis, None), Psp(), Psp()),
-            out_specs=(Psp(axis, None), Psp(axis), Psp(axis), Psp(axis),
-                       Psp()),
+            out_specs=(Psp(axis, None), Psp(axis, None), Psp()),
         )
         def bob_program(payload_rx, xmask, shortfill, syndromes, exp_hashes,
                         qmag, vkey):
@@ -204,9 +208,10 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
             i = jax.lax.axis_index(axis)
             bl = payload_rx.shape[0]
             sf = jax.lax.dynamic_slice_in_dim(shortfill, i * bl, bl, axis=0)
-            hat, ok, iters, errs = _bob_core(
+            hat, stats = _bob_core(
                 payload_rx, xmask, sf, syndromes, exp_hashes, qmag, vkey,
                 shard_decoder, row0=(i * bl).astype(jnp.uint32))
+            ok = stats[:, 0].astype(bool)
             # Per-shard decode-stage ledger, psum'd over ICI — the global
             # leaked-bit accounting of BASELINE config 5, fed by the REAL
             # session quantities (puncture credit via leaked_per_block, fine
@@ -221,7 +226,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
             led = led.at[idx["blocks_ok"]].set(okc)
             led = led.at[idx["blocks_failed"]].set(bl - okc)
             gled = jax.lax.psum(led, axis)
-            return hat, ok, iters, errs, gled
+            return hat, stats, gled
 
     if l_max > 0:
         @jax.jit

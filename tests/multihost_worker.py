@@ -84,7 +84,7 @@ xmask = np.zeros(code.n, np.uint8)
 shortfill = np.zeros((B, 0), np.uint8)
 mag = np.float32(np.log(0.98 / 0.02))
 
-hat, ok, iters, errs, ledger = progs.bob(
+hat, stats, ledger = progs.bob(
     mk(bob, sh), mk(xmask, rep), mk(shortfill, rep),
     mk(syn_host, sh), mk(exp_hash_host, sh), mk(mag, rep), mk(vkey, rep))
 # The ledger is replicated over the GLOBAL mesh; a cross-process fetch is

@@ -72,11 +72,11 @@ def test_session_mesh_ledger_psum(mesh, code):
     mag = np.float32(np.log(0.98 / 0.02))
     args = (jnp.asarray(bob), jnp.asarray(xmask), jnp.asarray(shortfill),
             jnp.asarray(syn), exp_hashes, jnp.float32(mag), vkey)
-    hat1, ok1, it1, er1 = p1.bob(*args)
-    hat8, ok8, it8, er8, gled = p8.bob(*args)
+    hat1, st1 = p1.bob(*args)
+    hat8, st8, gled = p8.bob(*args)
     np.testing.assert_array_equal(np.asarray(hat1), np.asarray(hat8))
-    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok8))
-    np.testing.assert_array_equal(np.asarray(it1), np.asarray(it8))
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st8))
+    ok1 = np.asarray(st1)[:, 0].astype(bool)
     idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
     gl = np.asarray(gled)
     okc = int(np.asarray(ok1).sum())

@@ -98,7 +98,7 @@ def test_blind_retry_recovers_boundary_blocks():
     pinned re-decode) must recover blocks, keep keys identical, and charge
     the extra disclosure to the ledger on both sides."""
     rng = np.random.default_rng(3)
-    total, q = 30_000, 0.072
+    total, q = 30_000, 0.08   # past the top rung's ceiling: some blocks fail
     alice_bits = rng.integers(0, 2, total).astype(np.uint8)
     bob_bits = alice_bits ^ (rng.random(total) < q).astype(np.uint8)
 

@@ -34,11 +34,11 @@ def main() -> None:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
         bpw = int(sys.argv[2]) if len(sys.argv) > 2 else 64
         cfg = PipelineConfig(n=n, blocks_per_window=bpw,
-                             qber_test_bits=8192, qber_segment_bits=32768)
+                             qber_test_bits=8192)
     rng = np.random.default_rng(1)
     rows = []
     for q in (0.01, 0.02, 0.03, 0.05, 0.07):
-        total = max(800_000, 8 * (cfg.qber_segment_bits + bpw * n))
+        total = max(800_000, 8 * bpw * n)
         a_bits = rng.integers(0, 2, total).astype(np.uint8)
         b_bits = a_bits ^ (rng.random(total) < q).astype(np.uint8)
         t0 = time.time()
@@ -46,7 +46,7 @@ def main() -> None:
         ka, kb = alice.final_key_bits(), bob.final_key_bits()
         assert ka.size == kb.size and (ka == kb).all(), "keys differ"
         led = alice.ledger
-        consumed = led.sifted_bits - len(alice.buffer)
+        consumed = led.sifted_bits - alice.stream.remaining
         rows.append({
             "qber": q,
             "f": round(led.syndrome_bits / max(1, led.reconciled_bits) / h2(q), 3),

@@ -49,28 +49,27 @@ def main() -> None:
     pl.AliceSession.start_window = timed("alice.start_window")(pl.AliceSession.start_window)
     pl.AliceSession._on_rate_select = timed("alice.on_rate_select")(pl.AliceSession._on_rate_select)
     pl.AliceSession._on_verify_ack = timed("alice.on_verify_ack")(pl.AliceSession._on_verify_ack)
-    pl.BobSession._on_qber = timed("bob.on_qber")(pl.BobSession._on_qber)
+    pl.BobSession._service_opens = timed("bob.service_opens")(pl.BobSession._service_opens)
     pl.BobSession._on_syndromes = timed("bob.on_syndromes")(pl.BobSession._on_syndromes)
     pl.BobSession._resolve_decode = timed("bob.resolve_decode")(pl.BobSession._resolve_decode)
     pl._Party._privacy_amplify = timed("pa")(pl._Party._privacy_amplify)
-    pl._Party._assemble_payload = timed("assemble_payload")(pl._Party._assemble_payload)
+    pl._Party._drain_chunks = timed("drain_final_keys")(pl._Party._drain_chunks)
     prng.derive = timed("prng.derive")(prng.derive)
-    prng.subset_indices = timed("prng.subset")(prng.subset_indices)
 
-    from qtpu.link import make_loopback_pair
+    from qtpu.link import make_direct_pair
     cfg = pl.production_config()
     qber = 0.03
     warmup = 2
-    per_window = cfg.qber_segment_bits + cfg.n * cfg.blocks_per_window
+    per_window = cfg.n * cfg.blocks_per_window
     total_bits = (windows + warmup + 1) * per_window
-    rng = np.random.default_rng(7)
-    a_bits = rng.integers(0, 2, total_bits).astype(np.uint8)
-    b_bits = a_bits ^ (rng.random(total_bits) < qber).astype(np.uint8)
-    la, lb = make_loopback_pair()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from config4_full_chain import device_bsc_stream
+    a_dev, b_dev = device_bsc_stream(total_bits, qber, 7)
+    la, lb = make_direct_pair()
     alice = pl.AliceSession(cfg, 0x5E55, la)
     bob = pl.BobSession(cfg, 0x5E55, lb)
-    alice.push_sifted(a_bits)
-    bob.push_sifted(b_bits)
+    alice.push_sifted(a_dev)
+    bob.push_sifted(b_dev)
 
     def pump_until(n_windows):
         while bob.window_id < n_windows:

@@ -75,8 +75,10 @@ def read_keys(path: str) -> Iterator[KeyRecord]:
 
 
 def records_from_session(session) -> list[KeyRecord]:
-    """Collect a pipeline session's final keys as addressable records."""
+    """Collect a pipeline session's final keys as addressable records
+    (drains any device-resident key chunks first)."""
+    session._drain_chunks()
     out = []
-    for (w, b), bits in zip(session.final_key_index, session.final_key_words):
+    for (w, b), bits in zip(session.final_key_index, session._final_host):
         out.append(KeyRecord(window_id=w, block_index=b, bits=bits))
     return out

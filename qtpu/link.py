@@ -25,7 +25,58 @@ from typing import Optional
 
 from qtpu.messages import Message, pack_message, unpack_message
 
-__all__ = ["LoopbackLink", "TcpLink", "make_loopback_pair"]
+__all__ = ["DirectLink", "LoopbackLink", "TcpLink", "make_loopback_pair",
+           "make_direct_pair"]
+
+
+class DirectLink:
+    """In-process channel passing Message OBJECTS by reference — device
+    arrays inside messages (syndromes, hashes, test bits) never cross the
+    host↔device boundary.  This is the honest single-machine model of a
+    deployment where each party owns its accelerator and the classical
+    channel is a NIC between the two hosts: serialization happens at the
+    NIC, not on this chip's (tunneled, ~26 ms/transfer) host link.
+
+    ``auth_overhead_bits``: when > 0, every message charges that many bits
+    of pre-shared/recycled secret key to ``consumed_bits`` — the ledger
+    cost of the Wegman-Carter channel authentication an in-process link
+    cannot physically perform (qtpu.auth.AuthedLink does the real MAC on
+    serializing links; the KEY CONSUMPTION is what affects net key rate).
+    """
+
+    def __init__(self, tx: collections.deque, rx: collections.deque,
+                 auth_overhead_bits: int = 0):
+        self._tx = tx
+        self._rx = rx
+        self._auth = auth_overhead_bits
+        self.consumed_bits = 0 if auth_overhead_bits else None
+        self.messages_sent = 0
+        self.messages_received = 0
+
+    def send(self, msg: Message) -> None:
+        if self._auth:
+            self.consumed_bits += self._auth
+        self.messages_sent += 1
+        self._tx.append(msg)
+
+    def recv(self, timeout: Optional[float] = None) -> Optional[Message]:
+        if not self._rx:
+            return None
+        if self._auth:
+            self.consumed_bits += self._auth
+        self.messages_received += 1
+        return self._rx.popleft()
+
+    def pending(self) -> int:
+        return len(self._rx)
+
+
+def make_direct_pair(auth_overhead_bits: int = 0
+                     ) -> tuple["DirectLink", "DirectLink"]:
+    a_to_b: collections.deque = collections.deque()
+    b_to_a: collections.deque = collections.deque()
+    return (DirectLink(a_to_b, b_to_a, auth_overhead_bits),
+            DirectLink(b_to_a, a_to_b, auth_overhead_bits))
 
 
 class LoopbackLink:

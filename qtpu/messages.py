@@ -26,7 +26,7 @@ import numpy as np
 from qtpu.framing import pack_bits, unpack_bits
 
 __all__ = [
-    "MsgType", "Message", "QberDisclose", "RateSelect", "Syndromes",
+    "MsgType", "Message", "WindowOpen", "RateSelect", "Syndromes",
     "VerifyAck", "Abort", "TimingBasis", "SiftIndex", "RetryDisclose",
     "pack_message", "unpack_message",
 ]
@@ -35,12 +35,23 @@ MAGIC = 0x51C0FFEE  # wire tag (reference: packet tag field)
 _HEADER = struct.Struct("<IIII")  # magic, total_len, subtype, window_id
 
 
+def _as_np(a, dtype=np.uint8) -> np.ndarray:
+    """Materialize a possibly-device array for the wire (protocol v2 keeps
+    arrays on device through in-process DirectLinks; serializing links pay
+    the device→host fetch here, at the NIC boundary where a deployment
+    would pay it anyway)."""
+    return np.asarray(a).astype(dtype, copy=False)
+
+
 class MsgType(IntEnum):
-    QBER_DISCLOSE = 1   # Alice → Bob: her values at the shared test positions
-    RATE_SELECT = 2     # Bob → Alice: QBER estimate + chosen rate rung
+    WINDOW_OPEN = 1     # Alice → Bob: window w is ready to start
+    RATE_SELECT = 2     # Bob → Alice: prior-driven rate rung + shortening
+                        # + inline QBER test size
     SYNDROMES = 3       # Alice → Bob: per-block syndromes + verify hashes
+                        # + inline QBER test-bit disclosure
     VERIFY_ACK = 4      # Bob → Alice: per-block pass/fail mask
-    ABORT = 5           # either → either: tear down the window/session
+    ABORT = 5           # either → either: tear down a window; carries the
+                        # sender's consumed stream length for cursor resync
     TIMING_BASIS = 6    # Alice → Bob: event times + basis (type-2 role)
     SIFT_INDEX = 7      # Bob → Alice: matched-event index (type-4 role)
     RETRY_DISCLOSE = 8  # Alice → Bob: extra bits for failed blocks (blind-
@@ -61,105 +72,124 @@ class Message:
 
 
 @dataclasses.dataclass
-class QberDisclose(Message):
-    """Alice's bits at the protocol-PRNG-chosen test positions (k bits)."""
-    num_bits: int
-    bits: np.ndarray  # (k,) uint8
-    TYPE: ClassVar[MsgType] = MsgType.QBER_DISCLOSE
+class WindowOpen(Message):
+    """Alice has a window's worth of stream buffered (no payload — stream
+    consumption waits for the rung choice, so the reserve can cover the
+    worst-case rung)."""
+    TYPE: ClassVar[MsgType] = MsgType.WINDOW_OPEN
 
     def payload_bytes(self) -> bytes:
-        words = pack_bits(self.bits)
-        return struct.pack("<I", self.num_bits) + words.tobytes()
+        return b""
 
     @classmethod
-    def from_payload(cls, window_id: int, data: bytes) -> "QberDisclose":
-        (k,) = struct.unpack_from("<I", data)
-        words = np.frombuffer(data[4:], dtype=np.uint32)
-        return cls(window_id=window_id, num_bits=k, bits=unpack_bits(words, k))
+    def from_payload(cls, window_id: int, data: bytes) -> "WindowOpen":
+        return cls(window_id=window_id)
 
 
 @dataclasses.dataclass
 class RateSelect(Message):
-    """Bob's QBER estimate and the ladder rung he wants Alice to encode at.
+    """Bob's prior-driven protocol choice for the window: the ladder rung,
+    the fine-shortening amount, and the inline QBER test-bit size.
 
     ``short_bits``: extra payload positions per block to shorten (pin to
     shared-PRNG values) — the fine rate-adaptation knob interpolating the
-    effective rate between ladder rungs."""
-    qber_milli: int     # QBER in 1/1000 units (wire-friendly)
+    effective rate between ladder rungs.
+    ``test_bits_pb``: QBER test positions per block Alice must disclose
+    inside her Syndromes message (protocol-PRNG positions, pinned in the
+    decode)."""
+    qber_milli: int     # QBER prior estimate in 1/1000 units (diagnostic)
     rate_index: int
     short_bits: int = 0
+    test_bits_pb: int = 0
     TYPE: ClassVar[MsgType] = MsgType.RATE_SELECT
 
     def payload_bytes(self) -> bytes:
-        return struct.pack("<III", self.qber_milli, self.rate_index,
-                           self.short_bits)
+        return struct.pack("<IIII", self.qber_milli, self.rate_index,
+                           self.short_bits, self.test_bits_pb)
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "RateSelect":
-        q, r, s = struct.unpack_from("<III", data)
+        q, r, s, k = struct.unpack_from("<IIII", data)
         return cls(window_id=window_id, qber_milli=q, rate_index=r,
-                   short_bits=s)
+                   short_bits=s, test_bits_pb=k)
 
 
 @dataclasses.dataclass
 class Syndromes(Message):
     """The one-way reconciliation message: per-block syndromes + 64-bit
-    verification hashes (SURVEY.md §4.4 — ONE message replaces Cascade's
-    dozens of round trips)."""
+    verification hashes + the inline QBER test-bit disclosure (SURVEY.md
+    §4.4 — ONE message replaces Cascade's dozens of round trips; §3 #11 —
+    the disclosure rides the same message instead of its own round trip)."""
     rate_index: int
     num_blocks: int
     syndrome_bits: int            # m per block
-    syndromes: np.ndarray         # (B, m) uint8
-    verify_hashes: np.ndarray     # (B, 64) uint8
+    syndromes: np.ndarray         # (B, m) uint8 — may be a device array
+    verify_hashes: np.ndarray     # (B, Vh) uint8 — may be a device array
     short_bits: int = 0           # echo of RateSelect.short_bits (idempotence)
+    test_bits_pb: int = 0         # echo of RateSelect.test_bits_pb
+    test_bits: np.ndarray = None  # (B, k_pb) uint8 — may be a device array
     TYPE: ClassVar[MsgType] = MsgType.SYNDROMES
 
     def payload_bytes(self) -> bytes:
-        syn_words = pack_bits(self.syndromes)      # (B, ceil(m/32))
-        hash_words = pack_bits(self.verify_hashes)  # (B, 2)
-        head = struct.pack("<IIII", self.rate_index, self.num_blocks,
-                           self.syndrome_bits, self.short_bits)
-        return head + syn_words.tobytes() + hash_words.tobytes()
+        syn = _as_np(self.syndromes)
+        hashes = _as_np(self.verify_hashes)
+        vh = hashes.shape[-1]
+        k = self.test_bits_pb
+        test = (_as_np(self.test_bits) if k
+                else np.zeros((self.num_blocks, 0), np.uint8))
+        head = struct.pack("<IIIIII", self.rate_index, self.num_blocks,
+                           self.syndrome_bits, self.short_bits, vh, k)
+        parts = [head, pack_bits(syn).tobytes(), pack_bits(hashes).tobytes()]
+        if k:
+            parts.append(pack_bits(test).tobytes())
+        return b"".join(parts)
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "Syndromes":
-        r, b, m, s = struct.unpack_from("<IIII", data)
-        off = 16
+        r, b, m, s, vh, k = struct.unpack_from("<IIIIII", data)
+        off = 24
         syn_w = (m + 31) // 32
         syn_bytes = b * syn_w * 4
-        syn_words = np.frombuffer(data[off:off + syn_bytes], np.uint32).reshape(b, syn_w)
-        hash_words = np.frombuffer(data[off + syn_bytes:], np.uint32).reshape(b, 2)
+        syn_words = np.frombuffer(data[off:off + syn_bytes],
+                                  np.uint32).reshape(b, syn_w)
+        off += syn_bytes
+        h_w = (vh + 31) // 32
+        hash_words = np.frombuffer(data[off:off + b * h_w * 4],
+                                   np.uint32).reshape(b, h_w)
+        off += b * h_w * 4
+        if k:
+            t_w = (k + 31) // 32
+            t_words = np.frombuffer(data[off:off + b * t_w * 4],
+                                    np.uint32).reshape(b, t_w)
+            test = unpack_bits(t_words, k)
+        else:
+            test = np.zeros((b, 0), np.uint8)
         return cls(window_id=window_id, rate_index=r, num_blocks=b,
                    syndrome_bits=m, syndromes=unpack_bits(syn_words, m),
-                   verify_hashes=unpack_bits(hash_words, 64), short_bits=s)
+                   verify_hashes=unpack_bits(hash_words, vh), short_bits=s,
+                   test_bits_pb=k, test_bits=test)
 
 
 @dataclasses.dataclass
 class VerifyAck(Message):
     """Bob's per-block verification results (True = hashes matched).
 
-    ``round`` distinguishes the initial ack (0) from post-retry acks.
-    ``next_test_bits``: how many QBER test bits Bob wants disclosed for the
-    next window (adaptive disclosure — scales with his post-decode prior's
-    effective sample size; 0 = no request, keep the current size)."""
+    ``round`` distinguishes the initial ack (0) from post-retry acks."""
     num_blocks: int
     ok_mask: np.ndarray  # (B,) uint8
     round: int = 0
-    next_test_bits: int = 0
     TYPE: ClassVar[MsgType] = MsgType.VERIFY_ACK
 
     def payload_bytes(self) -> bytes:
-        return (struct.pack("<III", self.num_blocks, self.round,
-                            self.next_test_bits)
+        return (struct.pack("<II", self.num_blocks, self.round)
                 + pack_bits(self.ok_mask).tobytes())
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "VerifyAck":
-        b, rnd, nxt = struct.unpack_from("<III", data)
-        words = np.frombuffer(data[12:], np.uint32)
+        b, rnd = struct.unpack_from("<II", data)
+        words = np.frombuffer(data[8:], np.uint32)
         return cls(window_id=window_id, num_blocks=b,
-                   ok_mask=unpack_bits(words, b), round=rnd,
-                   next_test_bits=nxt)
+                   ok_mask=unpack_bits(words, b), round=rnd)
 
 
 @dataclasses.dataclass
@@ -170,14 +200,21 @@ class RetryDisclose(Message):
     round: int
     num_bits: int              # disclosed bits per failed block
     failed_mask: np.ndarray    # (B,) uint8
-    bits: np.ndarray           # (num_failed, num_bits) uint8
+    bits: np.ndarray           # (num_failed, num_bits) uint8 on the wire;
+                               # in-process links may carry (B, num_bits)
+                               # device arrays (only failed rows meaningful)
     TYPE: ClassVar[MsgType] = MsgType.RETRY_DISCLOSE
 
     def payload_bytes(self) -> bytes:
-        head = struct.pack("<III", self.round, self.num_bits,
-                           len(self.failed_mask))
-        return (head + pack_bits(self.failed_mask).tobytes()
-                + pack_bits(self.bits).tobytes())
+        mask = _as_np(self.failed_mask)
+        bits = _as_np(self.bits)
+        if bits.shape[0] == len(mask):
+            # Device form carries all rows; the WIRE discloses failed rows
+            # only (leakage = num_bits x num_failed, as the ledger charges).
+            bits = bits[mask.astype(bool)]
+        head = struct.pack("<III", self.round, self.num_bits, len(mask))
+        return (head + pack_bits(mask).tobytes()
+                + pack_bits(bits).tobytes())
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "RetryDisclose":
@@ -197,15 +234,32 @@ class RetryDisclose(Message):
 
 @dataclasses.dataclass
 class Abort(Message):
+    """Tear down a window.  ``consumed`` is the sender's consumed stream
+    length for the window — the receiver consumes-and-discards to match so
+    an asymmetric abort can never desynchronize the two parties' stream
+    cursors (a receiver that consumed MORE echoes the abort back with its
+    own count).  ``disclosed_*`` carry the sender's leakage charges for the
+    window (QBER test bits / syndromes / hashes already on the channel when
+    the abort struck) so both ledgers stay equal even when only one party
+    reached the disclosure stage."""
     reason: str = ""
+    consumed: int = 0
+    disclosed_qber: int = 0
+    disclosed_syndrome: int = 0
+    disclosed_hash: int = 0
     TYPE: ClassVar[MsgType] = MsgType.ABORT
 
     def payload_bytes(self) -> bytes:
-        return self.reason.encode("utf-8")
+        return (struct.pack("<QQQQ", self.consumed, self.disclosed_qber,
+                            self.disclosed_syndrome, self.disclosed_hash)
+                + self.reason.encode("utf-8"))
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "Abort":
-        return cls(window_id=window_id, reason=data.decode("utf-8"))
+        c, dq, ds, dh = struct.unpack_from("<QQQQ", data)
+        return cls(window_id=window_id, reason=data[32:].decode("utf-8"),
+                   consumed=c, disclosed_qber=dq, disclosed_syndrome=ds,
+                   disclosed_hash=dh)
 
 
 @dataclasses.dataclass
@@ -257,7 +311,7 @@ class SiftIndex(Message):
 
 
 _REGISTRY: dict[int, Type[Message]] = {
-    int(c.TYPE): c for c in (QberDisclose, RateSelect, Syndromes, VerifyAck,
+    int(c.TYPE): c for c in (WindowOpen, RateSelect, Syndromes, VerifyAck,
                              Abort, TimingBasis, SiftIndex, RetryDisclose)
 }
 

@@ -54,6 +54,23 @@ class QberEstimator:
     _errs: float = 0.0
     _n: float = 0.0
 
+    def prior_estimate(self, cold_q: float,
+                       min_n: float = 64.0) -> tuple[float, float]:
+        """(q_hat, q_ucb) from the decayed prior ALONE — protocol v2 selects
+        the rate BEFORE any fresh disclosure (the inline test bits update
+        the prior after the decode resolves).  A cold prior (effective
+        sample below ``min_n``) returns the configured initial assumption
+        for both values; a warming prior blends toward it."""
+        if self.halflife <= 0 or self._n < min_n:
+            return float(cold_q), float(cold_q)
+        q = (self._errs + 0.5) / (self._n + 1.0)
+        sigma = float(np.sqrt(q * (1.0 - q) / max(1.0, self._n)))
+        return float(q), float(q + self.ucb_sigmas * sigma)
+
+    @property
+    def n_eff(self) -> float:
+        return self._n
+
     def estimate(self, mismatches: int, disclosed: int) -> tuple[float, float]:
         """Combine fresh disclosure with the prior → (q_hat, q_ucb).
 

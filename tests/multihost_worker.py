@@ -40,9 +40,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from qtpu import prng
 from qtpu.accounting import LEDGER_FIELDS
 from qtpu.ldpc.codes import make_regular_code
-from qtpu.ldpc.encode import make_batch_encoder
 from qtpu.parallel import make_mesh
-from qtpu.window_programs import make_window_programs
+from qtpu.stream import DeviceStream
+from qtpu.window_programs import make_header, make_window_programs
 
 assert len(jax.devices()) == 8, f"global devices: {jax.devices()}"
 assert len(jax.local_devices()) == 4
@@ -51,47 +51,47 @@ mesh = make_mesh("blocks")
 code = make_regular_code(1024)
 pay = np.arange(code.n, dtype=np.int64)
 empty = np.zeros(0, np.int64)
-progs = make_window_programs(code, pay, empty, empty, max_iters=20,
-                             alg="minsum", verify_hash_bits=64, l_max=128,
-                             batch=16, mesh=mesh)
+B, k_pb = 16, 8
+kwargs = dict(max_iters=20, alg="minsum", verify_hash_bits=64, l_max=128,
+              batch=B, k_pb=k_pb)
+progs = make_window_programs(code, pay, empty, empty, mesh=mesh, **kwargs)
+# Alice's side mirrored LOCALLY on each process (unsharded jit runs on the
+# local default device): same v2 programs, same protocol keys -> identical
+# syndromes/hashes/test bits on both processes with zero cross-process work.
+local = make_window_programs(code, pay, empty, empty, **kwargs)
 
 # Identical global data on both processes (same seed); sharding splits it.
 rng = np.random.default_rng(0)
-B = 16
 keys = rng.integers(0, 2, (B, code.n)).astype(np.uint8)
 bob = keys ^ (rng.random((B, code.n)) < 0.02).astype(np.uint8)
-syn_host = np.asarray(make_batch_encoder(code)(jnp.asarray(keys)))
-vkey = prng.key_data(prng.derive(prng.root_key(3), "verify", 0))
-# Alice's reference hashes, mirrored HOST-SIDE (per-block fold_in seeds +
-# golden Toeplitz) — no cross-process collectives outside the shard_map.
-from qtpu.pa import toeplitz_hash_golden
-key = jax.random.wrap_key_data(vkey)
-rows = []
-for i in range(B):
-    with jax.default_device(jax.local_devices()[0]):
-        k = jax.random.fold_in(key, np.uint32(i))
-        rows.append(np.asarray(jax.random.bernoulli(k, 0.5, (code.n + 63,))))
-t = np.stack(rows).astype(np.uint8)
-exp_hash_host = np.stack([toeplitz_hash_golden(t[i], keys[i], 64)
-                          for i in range(B)])
+wkey = prng.key_data(prng.derive(prng.root_key(3), "win", 0))
+pkey = prng.key_data(prng.derive(prng.root_key(7), "punct", 0))
+header_host = make_header(0, 0, wkey, pkey)
+with jax.default_device(jax.local_devices()[0]):
+    sa, sb = DeviceStream(1 << 16), DeviceStream(1 << 16)
+    sa.push(keys.reshape(-1))
+    sb.push(bob.reshape(-1))
+    _, syn, hashes, test = local.alice(sa.arena, jnp.asarray(header_host))
+    syn_host, hash_host, test_host = (np.asarray(syn), np.asarray(hashes),
+                                      np.asarray(test))
+    arena_host = np.asarray(sb.arena)
 
 sh = NamedSharding(mesh, P("blocks", None))
 rep = NamedSharding(mesh, P())
 def mk(h, sharding):
     return jax.make_array_from_callback(np.asarray(h).shape, sharding,
                                         lambda idx: np.asarray(h)[idx])
-xmask = np.zeros(code.n, np.uint8)
-shortfill = np.zeros((B, 0), np.uint8)
 mag = np.float32(np.log(0.98 / 0.02))
 
-hat, stats, ledger = progs.bob(
-    mk(bob, sh), mk(xmask, rep), mk(shortfill, rep),
-    mk(syn_host, sh), mk(exp_hash_host, sh), mk(mag, rep), mk(vkey, rep))
+hat, rx, rxp, pin, stats, ledger = progs.bob(
+    mk(arena_host, rep), mk(header_host, rep), mk(test_host, sh),
+    mk(syn_host, sh), mk(hash_host, sh), mk(mag, rep))
 # The ledger is replicated over the GLOBAL mesh; a cross-process fetch is
 # not allowed — any local shard holds the full (psum'd) value.
 gl = np.asarray(ledger.addressable_shards[0].data)
 idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
 assert gl[idx["syndrome_bits"]] == B * code.m
+assert gl[idx["qber_test_bits"]] == B * k_pb
 assert gl[idx["blocks_ok"]] + gl[idx["blocks_failed"]] == B
 assert gl[idx["blocks_ok"]] == B, "all blocks should verify at 2%"
 print(f"MULTIHOST_OK proc={proc_id} ledger={gl.tolist()}", flush=True)

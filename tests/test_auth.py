@@ -63,8 +63,7 @@ def test_session_ledgers_charge_auth_bits():
     a_bits = rng.integers(0, 2, n).astype(np.uint8)
     b_bits = a_bits ^ (rng.random(n) < 0.02).astype(np.uint8)
     la, lb = make_loopback_pair()
-    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
-                         qber_segment_bits=2048)
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512)
     alice = AliceSession(cfg, 7, AuthedLink(la, 0xC0FFEE, True))
     bob = BobSession(cfg, 7, AuthedLink(lb, 0xC0FFEE, False))
     alice.push_sifted(a_bits)

@@ -14,7 +14,7 @@ from qtpu.pipeline import PipelineConfig
 def test_full_chain_loopback():
     cfg = ChainConfig(
         pipeline=PipelineConfig(n=1024, blocks_per_window=2,
-                                qber_test_bits=256, qber_segment_bits=1024),
+                                qber_test_bits=256),
         window_s=0.05,
     )
     src = EntangledPairSource(pair_rate_hz=150_000, window_s=0.05,
@@ -55,8 +55,7 @@ def test_epoch_true_framing_and_resume():
     from qtpu.pipeline import PipelineConfig
 
     cfg = ChainConfig(pipeline=PipelineConfig(
-        n=1024, blocks_per_window=2, qber_test_bits=256,
-        qber_segment_bits=1024), window_s=0.05)
+        n=1024, blocks_per_window=2, qber_test_bits=256), window_s=0.05)
     src = EntangledPairSource(pair_rate_hz=120_000, window_s=0.05)
     rng = np.random.default_rng(3)
     span = int(0.05 * 8e9)

@@ -46,8 +46,7 @@ def test_json_roundtrip(tmp_path):
 
 
 def test_checkpoint_roundtrip():
-    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
-                         qber_segment_bits=2048)
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512)
     rng = np.random.default_rng(0)
     a_bits = rng.integers(0, 2, 20_000).astype(np.uint8)
     b_bits = a_bits ^ (rng.random(20_000) < 0.02).astype(np.uint8)
@@ -64,4 +63,5 @@ def test_checkpoint_roundtrip():
     fresh.restore_state(state)
     assert fresh.window_id == bob.window_id
     assert fresh.ledger.as_dict() == bob.ledger.as_dict()
-    np.testing.assert_array_equal(fresh.buffer, bob.buffer)
+    np.testing.assert_array_equal(fresh.stream.snapshot_host(),
+                                  bob.stream.snapshot_host())

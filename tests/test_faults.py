@@ -1,18 +1,34 @@
 """Fault injection on the classical channel (SURVEY.md §6.3): duplicated
-messages, window aborts, and burst errors must never produce differing final
-keys or diverging accounting."""
+messages, window aborts (in every consumption state), lost acks, and
+uncorrectable-QBER channels must never produce differing final keys or
+diverging accounting."""
 
 import numpy as np
 import pytest
 
-from qtpu.link import make_loopback_pair
+from qtpu.link import make_direct_pair, make_loopback_pair
 from qtpu.messages import pack_message, unpack_message
-from qtpu.pipeline import AliceSession, BobSession, PipelineConfig
+from qtpu.pipeline import (AliceSession, BobSession, PipelineConfig,
+                           pump_sessions)
 
 
-def _cfg():
-    return PipelineConfig(n=1024, blocks_per_window=2, qber_test_bits=256,
-                          qber_segment_bits=1024)
+def _cfg(**kw):
+    base = dict(n=1024, blocks_per_window=2, qber_test_bits=256,
+                qber_test_floor=64)
+    base.update(kw)
+    return PipelineConfig(**base)
+
+
+def _sessions(cfg, seed, total=20_000, qber=0.02, wire=True):
+    rng = np.random.default_rng(seed)
+    a_bits = rng.integers(0, 2, total).astype(np.uint8)
+    b_bits = a_bits ^ (rng.random(total) < qber).astype(np.uint8)
+    la, lb = make_loopback_pair() if wire else make_direct_pair()
+    alice = AliceSession(cfg, seed, la)
+    bob = BobSession(cfg, seed, lb)
+    alice.push_sifted(a_bits)
+    bob.push_sifted(b_bits)
+    return alice, bob, la, lb
 
 
 class DupLink:
@@ -33,90 +49,116 @@ class DupLink:
         return self._inner.recv(timeout)
 
 
-def _pump(alice, bob, la, lb, rounds=10_000):
-    for _ in range(rounds):
-        progressed = False
-        if alice.can_start_window():
-            alice.start_window()
-            progressed = True
-        m = lb.recv()
-        if m is not None:
-            bob.on_message(m)
-            progressed = True
-        m = la.recv()
-        if m is not None:
-            alice.on_message(m)
-            progressed = True
-        if not progressed and bob.flush():
-            progressed = True
-        if not progressed:
-            return
+def _assert_synced(alice, bob, expect_key=True):
+    ka, kb = alice.final_key_bits(), bob.final_key_bits()
+    np.testing.assert_array_equal(ka, kb)
+    assert alice.ledger.as_dict() == bob.ledger.as_dict()
+    assert alice.final_key_index == bob.final_key_index
+    if expect_key:
+        assert len(ka) > 0
 
 
 def test_duplicated_messages_are_idempotent():
-    rng = np.random.default_rng(0)
-    a_bits = rng.integers(0, 2, 20_000).astype(np.uint8)
-    b_bits = a_bits ^ (rng.random(20_000) < 0.02).astype(np.uint8)
-    la, lb = make_loopback_pair()
-    alice = AliceSession(_cfg(), 1, DupLink(la, every=2))
-    bob = BobSession(_cfg(), 1, DupLink(lb, every=2))
-    alice.push_sifted(a_bits)
-    bob.push_sifted(b_bits)
-    _pump(alice, bob, la, lb)
+    alice, bob, la, lb = _sessions(_cfg(), 10)
+    alice.link = DupLink(la, every=2)
+    bob.link = DupLink(lb, every=2)
+    pump_sessions(alice, bob, la, lb)
     assert bob.window_id >= 2
-    np.testing.assert_array_equal(alice.final_key_bits(), bob.final_key_bits())
-    assert alice.ledger.as_dict() == bob.ledger.as_dict()
-    assert len(alice.final_key_bits()) > 0
+    _assert_synced(alice, bob)
 
 
-def test_window_abort_resynchronizes():
-    """Drop Bob's RateSelect for window 0; Alice aborts, both mirror, and the
-    stream continues with identical keys and ledgers."""
-    rng = np.random.default_rng(1)
-    a_bits = rng.integers(0, 2, 20_000).astype(np.uint8)
-    b_bits = a_bits ^ (rng.random(20_000) < 0.02).astype(np.uint8)
-    la, lb = make_loopback_pair()
-    alice = AliceSession(_cfg(), 2, la)
-    bob = BobSession(_cfg(), 2, lb)
-    alice.push_sifted(a_bits)
-    bob.push_sifted(b_bits)
-
-    # Window 0: Alice discloses; Bob replies; we DROP the reply.
+def test_abort_before_consumption_resynchronizes():
+    """Drop Bob's RateSelect for window 0 (nothing consumed yet); Alice
+    aborts, both mirror, the stream continues with identical keys."""
+    alice, bob, la, lb = _sessions(_cfg(), 11)
     alice.start_window()
-    bob.on_message(lb.recv())
+    bob.on_message(lb.recv())          # open -> RateSelect
     dropped = la.recv()
-    assert dropped is not None and type(dropped).__name__ == "RateSelect"
-    # Alice times out and aborts window 0; Bob mirrors.
+    assert type(dropped).__name__ == "RateSelect"
     alice.abort_window(0)
     bob.on_message(lb.recv())
     assert 0 not in alice._inflight and 0 not in bob._inflight
     assert alice.window_id == 1 and bob.window_id == 1
-
-    # Stream resumes and completes further windows.
-    _pump(alice, bob, la, lb)
+    pump_sessions(alice, bob, la, lb)
     assert bob.window_id >= 2
-    ka, kb = alice.final_key_bits(), bob.final_key_bits()
-    assert len(ka) > 0
-    np.testing.assert_array_equal(ka, kb)
-    assert alice.final_key_index == bob.final_key_index
-    assert alice.ledger.as_dict() == bob.ledger.as_dict()
-    # Window 0 produced no key material on either side.
+    _assert_synced(alice, bob)
     assert all(w != 0 for w, _ in alice.final_key_index)
+
+
+def test_abort_after_alice_consumed_syncs_cursors():
+    """Drop Alice's Syndromes for window 0: Alice has consumed payload, Bob
+    has not.  The Abort carries Alice's consumed length; Bob must consume-
+    and-discard to match or every later window derails (the round-2
+    cursor-desync bug)."""
+    alice, bob, la, lb = _sessions(_cfg(), 12)
+    alice.start_window()
+    bob.on_message(lb.recv())          # open -> RateSelect
+    alice.on_message(la.recv())        # RateSelect -> Syndromes (consumes!)
+    dropped = lb.recv()
+    assert type(dropped).__name__ == "Syndromes"
+    consumed = alice._inflight[0]["consumed"]
+    assert consumed > 0
+    bob_before = bob.stream.remaining
+    alice.abort_window(0, "timeout")
+    bob.on_message(lb.recv())          # Bob mirrors INCLUDING consumption
+    assert bob.stream.remaining == bob_before - consumed
+    assert alice.ledger.discarded_bits == bob.ledger.discarded_bits == consumed
+    pump_sessions(alice, bob, la, lb)
+    assert bob.window_id >= 2
+    _assert_synced(alice, bob)
+
+
+def test_bob_initiated_abort_when_alice_consumed_echoes():
+    """Bob aborts a window whose Syndromes he never saw (consumed=0) while
+    Alice HAS consumed: Alice's echo tells Bob to catch up."""
+    alice, bob, la, lb = _sessions(_cfg(), 13)
+    alice.start_window()
+    bob.on_message(lb.recv())
+    alice.on_message(la.recv())        # Alice consumes, Syndromes in flight
+    dropped = lb.recv()                # ...and lost
+    assert type(dropped).__name__ == "Syndromes"
+    bob_before = bob.stream.remaining
+    # Bob times out and aborts with his consumed=0.
+    from qtpu.messages import Abort
+    bob._inflight.pop(0)
+    bob.window_id = max(bob.window_id, 1)
+    bob.link.send(Abort(window_id=0, reason="timeout", consumed=0))
+    alice.on_message(la.recv())        # Alice mirrors; echoes her count
+    echo = lb.recv()
+    assert type(echo).__name__ == "Abort" and echo.consumed > 0
+    bob.on_message(echo)
+    assert bob.stream.remaining == bob_before - echo.consumed
+    assert alice.ledger.discarded_bits == bob.ledger.discarded_bits
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob)
+
+
+def test_lost_ack_recovered_by_retransmit():
+    """Bob finalized a window but his VerifyAck is lost; Alice re-sends the
+    Syndromes and Bob's ack cache answers idempotently (at-least-once)."""
+    alice, bob, la, lb = _sessions(_cfg(), 14)
+    alice.start_window()
+    bob.on_message(lb.recv())
+    alice.on_message(la.recv())
+    bob.on_message(lb.recv())
+    bob.flush()
+    lost = la.recv()                   # drop the ack
+    assert type(lost).__name__ == "VerifyAck"
+    assert bob.window_id == 1          # Bob already finalized
+    assert alice._inflight[0]["stage"] == "syndromes_sent"
+    assert alice.retransmit_window(0)
+    bob.on_message(lb.recv())          # duplicate Syndromes -> cached ack
+    alice.on_message(la.recv())
+    assert 0 not in alice._inflight
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob)
 
 
 def test_stale_ack_ignored():
     """A replayed VerifyAck for an already-completed window must be a no-op."""
-    rng = np.random.default_rng(2)
-    a_bits = rng.integers(0, 2, 20_000).astype(np.uint8)
-    b_bits = a_bits ^ (rng.random(20_000) < 0.02).astype(np.uint8)
-    la, lb = make_loopback_pair()
-    alice = AliceSession(_cfg(), 3, la)
-    bob = BobSession(_cfg(), 3, lb)
-    alice.push_sifted(a_bits)
-    bob.push_sifted(b_bits)
-    # Run one full window while capturing the ack.
+    alice, bob, la, lb = _sessions(_cfg(), 15)
     alice.start_window()
-    bob.on_message(lb.recv())          # qber -> rate
+    bob.on_message(lb.recv())          # open -> rate
     alice.on_message(la.recv())        # rate -> syndromes
     bob.on_message(lb.recv())          # syndromes -> (deferred) decode
     bob.flush()                        # resolve -> ack
@@ -127,3 +169,23 @@ def test_stale_ack_ignored():
     assert after_first != before       # the real ack did its work
     alice.on_message(ack)              # replay
     assert alice.ledger.as_dict() == after_first, "replayed ack must be a no-op"
+
+
+def test_uncorrectable_qber_aborts_session():
+    """At 12% QBER (beyond every calibrated ceiling) the session must stop
+    burning payload: after the cold-start window teaches the prior, every
+    window aborts at the open stage and both parties go dead (round-2
+    verdict: abort-on-uncorrectable-QBER)."""
+    cfg = _cfg(blocks_per_window=4, max_uncorrectable_windows=3)
+    alice, bob, la, lb = _sessions(cfg, 16, total=60_000, qber=0.12)
+    pump_sessions(alice, bob, la, lb, max_rounds=200)
+    assert bob.dead and alice.dead, "session must die on uncorrectable QBER"
+    # No payload burned beyond the cold-prior pipeline depth: everything
+    # after those windows aborts at the open stage, consuming nothing.
+    consumed = 60_000 - alice.stream.remaining
+    assert consumed <= (cfg.max_inflight_windows
+                        * (alice.max_need + cfg.qber_test_bits))
+    # The cold window either verified (heavily pinned) or was discarded;
+    # either way zero secret key and matching ledgers.
+    assert alice.ledger.final_bits == 0
+    _assert_synced(alice, bob, expect_key=False)

@@ -96,8 +96,7 @@ def test_short_bits_wire_roundtrip():
 def test_loopback_with_fine_shortening():
     """End-to-end: a QBER sitting between rung ceilings forces extra
     shortening; both parties must still derive identical keys and ledgers."""
-    cfg = PipelineConfig(n=4096, blocks_per_window=8, qber_test_bits=2048,
-                         qber_segment_bits=8192)
+    cfg = PipelineConfig(n=4096, blocks_per_window=8, qber_test_bits=2048)
     rng = np.random.default_rng(42)
     q = 0.035
     N = 100_000
@@ -125,8 +124,7 @@ def test_post_decode_qber_prior_tightens():
     """Verified blocks feed Bob's decaying QBER prior; the prior's effective
     sample size must grow across windows and the combined estimate must home
     in on the true channel QBER (it starts from 512 test bits only)."""
-    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
-                         qber_segment_bits=2048)
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512)
     rng = np.random.default_rng(3)
     q = 0.03
     N = 60_000
@@ -143,8 +141,7 @@ def test_post_decode_qber_prior_tightens():
 
 
 def test_qber_prior_disabled():
-    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512,
-                         qber_segment_bits=2048, qber_prior_halflife=0.0)
+    cfg = PipelineConfig(n=1024, blocks_per_window=4, qber_test_bits=512, qber_prior_halflife=0.0)
     rng = np.random.default_rng(4)
     a_bits = rng.integers(0, 2, 30_000).astype(np.uint8)
     b_bits = a_bits ^ (rng.random(30_000) < 0.02).astype(np.uint8)

@@ -45,8 +45,7 @@ def test_records_from_session(tmp_path):
     rng = np.random.default_rng(1)
     a_bits = rng.integers(0, 2, 20_000).astype(np.uint8)
     b_bits = a_bits ^ (rng.random(20_000) < 0.02).astype(np.uint8)
-    cfg = PipelineConfig(n=1024, blocks_per_window=2, qber_test_bits=256,
-                         qber_segment_bits=1024)
+    cfg = PipelineConfig(n=1024, blocks_per_window=2, qber_test_bits=256)
     alice, bob = run_loopback(cfg, a_bits, b_bits)
     ra = keystore.records_from_session(alice)
     rb = keystore.records_from_session(bob)

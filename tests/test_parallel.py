@@ -48,40 +48,45 @@ def test_session_mesh_ledger_psum(mesh, code):
     """The SESSION's fused decode program DP-sharded over the mesh: the
     psum'd per-window device ledger must report the real quantities and the
     outputs must be bit-identical to the unsharded program (the multi-chip
-    accounting of BASELINE config 5, session-integrated — round-2)."""
+    accounting of BASELINE config 5, session-integrated — v2 device-stream
+    programs)."""
     from qtpu.accounting import LEDGER_FIELDS
-    from qtpu.window_programs import make_window_programs
+    from qtpu.stream import DeviceStream
+    from qtpu.window_programs import make_header, make_window_programs
     from qtpu import prng
     rng = np.random.default_rng(1)
-    B = 16
+    B, k_pb = 16, 8
     keys = rng.integers(0, 2, (B, code.n)).astype(np.uint8)
     bob = keys ^ (rng.random((B, code.n)) < 0.02).astype(np.uint8)
     pay = np.arange(code.n, dtype=np.int64)
     kwargs = dict(max_iters=40, alg="minsum", verify_hash_bits=64,
-                  l_max=128, batch=B)
+                  l_max=128, batch=B, k_pb=k_pb)
     empty = np.zeros(0, np.int64)
     p1 = make_window_programs(code, pay, empty, empty, **kwargs)
     p8 = make_window_programs(code, pay, empty, empty, mesh=mesh, **kwargs)
-    syn = np.asarray(make_batch_encoder(code)(jnp.asarray(keys)))
-    vkey = prng.key_data(prng.derive(prng.root_key(3), "verify", 0))
-    _, exp_hashes = p1.alice(jnp.asarray(keys),
-                             np.zeros((B, 0), np.uint8),
-                             np.zeros((B, 0), np.uint8), vkey)
-    xmask = np.zeros(code.n, np.uint8)
-    shortfill = np.zeros((B, 0), np.uint8)
-    mag = np.float32(np.log(0.98 / 0.02))
-    args = (jnp.asarray(bob), jnp.asarray(xmask), jnp.asarray(shortfill),
-            jnp.asarray(syn), exp_hashes, jnp.float32(mag), vkey)
-    hat1, st1 = p1.bob(*args)
-    hat8, st8, gled = p8.bob(*args)
+    sa, sb = DeviceStream(1 << 16), DeviceStream(1 << 16)
+    sa.push(keys.reshape(-1))
+    sb.push(bob.reshape(-1))
+    wkey = prng.key_data(prng.derive(prng.root_key(3), "win", 0))
+    pkey = prng.key_data(prng.derive(prng.root_key(7), "punct", 0))
+    header = jnp.asarray(make_header(0, 0, wkey, pkey))
+    _, syn, hashes, test = p1.alice(sa.arena, header)
+    mag = jnp.float32(np.log(0.98 / 0.02))
+    args = (header, jnp.asarray(test), jnp.asarray(syn),
+            jnp.asarray(hashes), mag)
+    hat1, rx1, _, _, st1 = p1.bob(sb.arena, *args)
+    hat8, rx8, _, _, st8, gled = p8.bob(sb.arena, *args)
     np.testing.assert_array_equal(np.asarray(hat1), np.asarray(hat8))
+    np.testing.assert_array_equal(np.asarray(rx1), np.asarray(rx8))
     np.testing.assert_array_equal(np.asarray(st1), np.asarray(st8))
+    np.testing.assert_array_equal(np.asarray(hat1), keys)
     ok1 = np.asarray(st1)[:, 0].astype(bool)
     idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
     gl = np.asarray(gled)
     okc = int(np.asarray(ok1).sum())
     assert gl[idx["syndrome_bits"]] == B * code.m
     assert gl[idx["verify_hash_bits"]] == B * 64
+    assert gl[idx["qber_test_bits"]] == B * k_pb
     assert gl[idx["blocks_ok"]] == okc
     assert gl[idx["blocks_ok"]] + gl[idx["blocks_failed"]] == B
     assert gl[idx["reconciled_bits"]] == okc * code.n

@@ -79,8 +79,7 @@ def _run(cfg, mesh=None, seed=3):
 
 
 def _cfg(**kw):
-    base = dict(n=1024, blocks_per_window=8, qber_test_bits=512,
-                qber_segment_bits=2048, pa_mode="stream",
+    base = dict(n=1024, blocks_per_window=8, qber_test_bits=512, pa_mode="stream",
                 pa_stream_windows=2)
     base.update(kw)
     return PipelineConfig(**base)

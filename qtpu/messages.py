@@ -125,9 +125,10 @@ class Syndromes(Message):
     syndrome_bits: int            # m per block
     syndromes: np.ndarray         # (B, m) uint8 — may be a device array
     verify_hashes: np.ndarray     # (B, Vh) uint8 — may be a device array
-    short_bits: int = 0           # echo of RateSelect.short_bits (idempotence)
+    short_bits: int = 0           # disclosed-shortening positions per block
     test_bits_pb: int = 0         # echo of RateSelect.test_bits_pb
     test_bits: np.ndarray = None  # (B, k_pb) uint8 — may be a device array
+    short_values: np.ndarray = None  # (B, s) uint8 — may be a device array
     TYPE: ClassVar[MsgType] = MsgType.SYNDROMES
 
     def payload_bytes(self) -> bytes:
@@ -135,39 +136,45 @@ class Syndromes(Message):
         hashes = _as_np(self.verify_hashes)
         vh = hashes.shape[-1]
         k = self.test_bits_pb
-        test = (_as_np(self.test_bits) if k
+        s = self.short_bits
+        # The in-process form may carry the program's full static K_max /
+        # S_max columns; only the DISCLOSED columns ever hit the wire.
+        test = (_as_np(self.test_bits)[:, :k] if k
                 else np.zeros((self.num_blocks, 0), np.uint8))
+        shortv = (_as_np(self.short_values)[:, :s] if s
+                  else np.zeros((self.num_blocks, 0), np.uint8))
         head = struct.pack("<IIIIII", self.rate_index, self.num_blocks,
-                           self.syndrome_bits, self.short_bits, vh, k)
+                           self.syndrome_bits, s, vh, k)
         parts = [head, pack_bits(syn).tobytes(), pack_bits(hashes).tobytes()]
         if k:
             parts.append(pack_bits(test).tobytes())
+        if s:
+            parts.append(pack_bits(shortv).tobytes())
         return b"".join(parts)
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "Syndromes":
         r, b, m, s, vh, k = struct.unpack_from("<IIIIII", data)
         off = 24
-        syn_w = (m + 31) // 32
-        syn_bytes = b * syn_w * 4
-        syn_words = np.frombuffer(data[off:off + syn_bytes],
-                                  np.uint32).reshape(b, syn_w)
-        off += syn_bytes
-        h_w = (vh + 31) // 32
-        hash_words = np.frombuffer(data[off:off + b * h_w * 4],
-                                   np.uint32).reshape(b, h_w)
-        off += b * h_w * 4
-        if k:
-            t_w = (k + 31) // 32
-            t_words = np.frombuffer(data[off:off + b * t_w * 4],
-                                    np.uint32).reshape(b, t_w)
-            test = unpack_bits(t_words, k)
-        else:
-            test = np.zeros((b, 0), np.uint8)
+
+        def take(width):
+            nonlocal off
+            if not width:
+                return np.zeros((b, 0), np.uint8)
+            w = (width + 31) // 32
+            words = np.frombuffer(data[off:off + b * w * 4],
+                                  np.uint32).reshape(b, w)
+            off += b * w * 4
+            return unpack_bits(words, width)
+
+        syn = take(m)
+        hashes = take(vh)
+        test = take(k)
+        shortv = take(s)
         return cls(window_id=window_id, rate_index=r, num_blocks=b,
-                   syndrome_bits=m, syndromes=unpack_bits(syn_words, m),
-                   verify_hashes=unpack_bits(hash_words, vh), short_bits=s,
-                   test_bits_pb=k, test_bits=test)
+                   syndrome_bits=m, syndromes=syn,
+                   verify_hashes=hashes, short_bits=s,
+                   test_bits_pb=k, test_bits=test, short_values=shortv)
 
 
 @dataclasses.dataclass

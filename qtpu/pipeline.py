@@ -73,8 +73,8 @@ from qtpu.ldpc.codes import RateLadder, make_rate_ladder
 from qtpu.messages import (Abort, Message, MsgType, RateSelect,
                            RetryDisclose, Syndromes, VerifyAck, WindowOpen)
 from qtpu.stream import DeviceStream
-from qtpu.window_programs import (WindowPrograms, make_header,
-                                  make_window_programs)
+from qtpu.window_programs import (WindowPrograms, choose_affine,
+                                  make_header, make_window_programs)
 
 __all__ = ["PipelineConfig", "AliceSession", "BobSession", "run_loopback",
            "production_config"]
@@ -88,7 +88,8 @@ def production_config(**overrides) -> "PipelineConfig":
     per-window stats fetch), adaptive inline QBER disclosure.  Override any
     field via kwargs."""
     base = dict(n=65536, family="native3", blocks_per_window=128,
-                qber_test_bits=8192, stream_capacity_bits=1 << 25)
+                qber_test_bits=8192, stream_capacity_bits=1 << 27,
+                drain_windows=16, select_guard_steps=5.0)
     base.update(overrides)
     return PipelineConfig(**base)
 
@@ -153,6 +154,10 @@ class PipelineConfig:
     # Consecutive uncorrectable-QBER window aborts before the session goes
     # dead (stops opening/answering windows).
     max_uncorrectable_windows: int = 3
+    # Rate-selection safety guard in calibration-grid steps: larger values
+    # shorten slightly more so the first-pass FER stays << 1/B (each failed
+    # block costs a retry round trip and a full re-decode of the window).
+    select_guard_steps: float = 1.0
 
 
 @dataclasses.dataclass
@@ -201,8 +206,12 @@ class _Party:
         self.final_key_index: list[tuple[int, int]] = []
         self._final_chunks: list[dict] = []
         self.metrics: list[WindowMetrics] = []
-        # Per-(rate, k_pb) fused device programs, compiled lazily.
-        self._programs: dict[tuple[int, int], WindowPrograms] = {}
+        # Per-rate fused device programs, compiled lazily (the adaptive
+        # test-bit count is a runtime header value, NOT a compile key).
+        self._programs: dict[int, WindowPrograms] = {}
+        B = config.blocks_per_window
+        self.k_max = max(1, 1 << int(np.ceil(np.log2(
+            max(1, -(-config.qber_test_bits // B))))))
         # Streaming-PA accumulator (pa_mode="stream").
         self._stream_buf: list[np.ndarray] = []
         self._stream_net = 0
@@ -219,9 +228,8 @@ class _Party:
         self.max_need = max(self.window_payload_bits(i)
                             for i in range(len(self.ladder.steps)))
 
-    def programs(self, rate_index: int, k_pb: int) -> WindowPrograms:
-        key = (rate_index, k_pb)
-        if key not in self._programs:
+    def programs(self, rate_index: int) -> WindowPrograms:
+        if rate_index not in self._programs:
             step = self.ladder.steps[rate_index]
             pos = self._step_positions[rate_index]
             P = int(pos["payload"].size)
@@ -229,13 +237,27 @@ class _Party:
                         - self.config.verify_hash_bits
                         - self.config.security_margin_bits)
             retry_bits = max(1, int(self.config.retry_fraction * P))
-            self._programs[key] = make_window_programs(
+            k_max = self.k_max
+            while k_max > max(1, P // 8):
+                k_max //= 2
+            # Static cap on disclosed-shortening positions: covers the
+            # calibration grid's maximum (rounded to the granularity), but
+            # never more than P/4 (the disclosure gathers scale with it).
+            g = self.config.short_granularity
+            lad = self.ladder
+            if lad.short_grid is not None:
+                smx = int(-(-lad.short_grid[-1] * self.config.n // g) * g)
+            else:
+                smx = P // 8
+            smx = max(g, min(P // 4, smx))
+            self._programs[rate_index] = make_window_programs(
                 step.code, pos["payload"], pos["punct"], pos["short"],
                 self.config.max_iters, self.config.alg,
                 self.config.verify_hash_bits, l_max,
-                batch=self.config.blocks_per_window, k_pb=k_pb,
-                retry_bits=retry_bits, mesh=getattr(self, "_mesh", None))
-        return self._programs[key]
+                batch=self.config.blocks_per_window, k_pb=k_max,
+                s_max=smx, retry_bits=retry_bits,
+                mesh=getattr(self, "_mesh", None))
+        return self._programs[rate_index]
 
     # -- framing geometry -------------------------------------------------
 
@@ -260,15 +282,25 @@ class _Party:
         positions — those carry PRNG fill, not stream bits)."""
         return int(self._step_positions[rate_index]["payload"].size)
 
-    def window_payload_bits(self, rate_index: int, short_bits: int = 0) -> int:
-        """STREAM bits consumed per window at this rung + fine shortening."""
-        return ((self.payload_per_block(rate_index) - short_bits)
+    def window_payload_bits(self, rate_index: int) -> int:
+        """STREAM bits consumed per window at this rung — CONSTANT B*P
+        (v2.1: shortening is disclosure-based, it never changes the
+        consumption geometry)."""
+        return (self.payload_per_block(rate_index)
                 * self.config.blocks_per_window)
 
     # -- per-window keys --------------------------------------------------
 
     def _window_key(self, window_id: int) -> np.ndarray:
         return prng.key_data(prng.derive(self.session, "win", window_id))
+
+    def _affine_for(self, window_id: int, P: int) -> tuple[int, int, int]:
+        """Protocol-deterministic affine stride (a, a^-1, b) for the
+        window's disclosure positions (identical on both parties)."""
+        key = prng.derive(self.session, "affine", window_id)
+        gen = np.random.default_rng(prng.key_to_numpy_seed(key))
+        a, ainv = choose_affine(gen.integers(2, P, size=64), P)
+        return a, ainv, int(gen.integers(0, P))
 
     def _pa_key(self, window_id: int, extra: int) -> np.ndarray:
         return prng.key_data(prng.derive(self.session, "pa", window_id,
@@ -288,7 +320,7 @@ class _Party:
         """Final length of a block with no retry leakage: the rung's static
         maximum minus this window's inline test disclosure and the
         publicly-derivable extra-shortened positions."""
-        prog = self.programs(rate_index, k_pb)
+        prog = self.programs(rate_index)
         return max(0, prog.l_max - k_pb - short_bits)
 
     def _privacy_amplify(self, payload_dev, ok_mask: np.ndarray,
@@ -303,7 +335,7 @@ class _Party:
         prefix, so host-side truncation is protocol-exact).
         """
         B = self.config.blocks_per_window
-        prog = self.programs(rate_index, k_pb)
+        prog = self.programs(rate_index)
         l_base = self._final_base_length(rate_index, k_pb, short_bits)
         if l_base == 0 or prog.l_max == 0:
             return 0
@@ -317,7 +349,15 @@ class _Party:
             if l == 0:
                 continue
             fk = prog.pa(payload_dev, self._pa_key(window_id, extra))
-            packed_by_extra[extra] = prog.pack(fk)
+            packed = prog.pack(fk)
+            try:
+                # Start the device->host transfer NOW, in the background:
+                # by drain time the bits are already host-side, so the
+                # drain never has to sync the device queue.
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            packed_by_extra[extra] = packed
             l_by_extra[extra] = l
         blocks = []
         total = 0
@@ -333,8 +373,10 @@ class _Party:
         return total
 
     def _drain_chunks(self) -> None:
-        """Fetch all pending device key chunks to host (bit-packed — 8x
-        smaller on the wire) and unpack."""
+        """Materialize all pending key chunks host-side (bit-packed — 8x
+        smaller on the wire).  The transfers were started asynchronously at
+        PA time (copy_to_host_async), so this is normally just a wait on
+        already-landed buffers."""
         from qtpu.framing import unpack_bits
         for chunk in self._final_chunks:
             host = {e: np.asarray(p) for e, p in chunk["packed"].items()}
@@ -346,6 +388,10 @@ class _Party:
     def _maybe_drain(self) -> None:
         if len(self._final_chunks) >= self.config.drain_windows:
             self._drain_chunks()
+
+    def drain_final(self) -> None:
+        """Force all pending device key chunks to host now."""
+        self._drain_chunks()
 
     def final_key_bits(self) -> np.ndarray:
         self._drain_chunks()
@@ -373,9 +419,9 @@ class _Party:
         # Conservative leakage: every disclosed bit of the window counts,
         # including failed blocks' syndromes/retries; extra-shortened
         # positions of surviving blocks are publicly derivable fill.
-        leak = (step.leaked_bits() * B + k_pb * B
+        leak = (step.leaked_bits() * B + (k_pb + short_bits) * B
                 + self.config.verify_hash_bits * B
-                + int(extra_leak.sum()) + short_bits * okc)
+                + int(extra_leak.sum()))
         self._stream_net += okc * P - leak
         self._stream_pending += 1
         if self._stream_pending >= self.config.pa_stream_windows:
@@ -607,17 +653,20 @@ class AliceSession(_Party):
             return  # duplicate or stale — at-least-once tolerance
         r, s, k_pb = msg.rate_index, msg.short_bits, msg.test_bits_pb
         step = self.ladder.steps[r]
-        prog = self.programs(r, k_pb)
+        prog = self.programs(r)
+        assert 0 < k_pb <= prog.k_pb, f"test size {k_pb} out of range"
+        assert 0 <= s <= prog.s_max, f"shortening {s} out of range"
         B = self.config.blocks_per_window
         P = self.payload_per_block(r)
-        take = self.window_payload_bits(r, s)
-        self.stream.ensure_contiguous(B * P)
+        take = self.window_payload_bits(r)
+        self.stream.ensure_contiguous(take)
         header = make_header(self.stream.start, s, self._window_key(w),
-                             self._private_key(w))
-        payload, syn, hashes, test_bits = prog.alice(
+                             self._private_key(w), test_bits_pb=k_pb,
+                             affine=self._affine_for(w, P))
+        payload, syn, hashes, test_bits, short_vals = prog.alice(
             self.stream.arena, jnp.asarray(header))
         self.stream.consume(take)
-        disclosed = (k_pb * B, step.leaked_bits() * B,
+        disclosed = ((k_pb + s) * B, step.leaked_bits() * B,
                      self.config.verify_hash_bits * B)
         self.ledger.add(qber_test_bits=disclosed[0],
                         syndrome_bits=disclosed[1],
@@ -625,7 +674,8 @@ class AliceSession(_Party):
         out = Syndromes(
             window_id=w, rate_index=r, num_blocks=B,
             syndrome_bits=step.code.m, syndromes=syn, verify_hashes=hashes,
-            short_bits=s, test_bits_pb=k_pb, test_bits=test_bits)
+            short_bits=s, test_bits_pb=k_pb, test_bits=test_bits,
+            short_values=short_vals)
         st.update(stage="syndromes_sent", rate_index=r, short_bits=s,
                   k_pb=k_pb, payload_dev=payload, consumed=take,
                   disclosed=disclosed, syn_msg=out, retries=0)
@@ -643,7 +693,7 @@ class AliceSession(_Party):
         self._uncorrectable_streak = 0
         ok = msg.ok_mask.astype(bool)
         r, s, k_pb = st["rate_index"], st["short_bits"], st["k_pb"]
-        prog = self.programs(r, k_pb)
+        prog = self.programs(r)
         P = self.payload_per_block(r)
         B = self.config.blocks_per_window
         extra = st.setdefault("extra_leak", np.zeros(B, np.int64))
@@ -666,7 +716,7 @@ class AliceSession(_Party):
                 failed_mask=failed.astype(np.uint8), bits=bits))
             return
 
-        per_block_stream = P - s
+        per_block_stream = P
         if self.config.pa_mode == "stream":
             final = self._stream_accumulate(st["payload_dev"], ok, r, k_pb,
                                             w, s, extra)
@@ -720,20 +770,15 @@ class BobSession(_Party):
         q, q_ucb = self.qest.prior_estimate(self.config.qber_initial)
         k_total = self.qest.request_bits(self.config.qber_test_floor,
                                          self.config.qber_test_bits)
-        k_pb = max(1, 1 << int(np.ceil(np.log2(max(1, -(-k_total // B))))))
-        # Never let the disclosure dominate the block (small-window/test
-        # configs): cap at 1/4 of the smallest rung payload.
-        p_min = min(self.payload_per_block(i)
-                    for i in range(len(self.ladder.steps)))
-        while k_pb > max(1, p_min // 4):
-            k_pb //= 2
+        k_pb = max(1, -(-k_total // B))
         g = self.config.short_granularity
         if self.config.fine_rate_adaptation:
             overhead = (self.config.verify_hash_bits
                         + self.config.security_margin_bits + k_pb)
             r, s = self.ladder.select_fine(
                 q_ucb, granularity=g, efficiency=self.config.efficiency,
-                overhead_bits=overhead)
+                overhead_bits=overhead,
+                guard=self.config.select_guard_steps * self.ladder.calib_step)
             # The inline test disclosure pins k_pb positions per block at
             # ±BIG — exactly what shortening does — so its leakage is
             # credited against the shortening request (duplicate positions
@@ -741,6 +786,9 @@ class BobSession(_Party):
             s = max(0, s - (k_pb // g) * g)
         else:
             r, s = self.ladder.select(q_ucb, self.config.efficiency), 0
+        prog = self.programs(r)
+        k_pb = min(k_pb, prog.k_pb)
+        s = min(s, prog.s_max)
         return q, r, s, k_pb
 
     def _uncorrectable(self, q_ucb: float) -> bool:
@@ -809,8 +857,7 @@ class BobSession(_Party):
         self._service_opens()
 
     def _reserved_bits(self) -> int:
-        return sum(self.window_payload_bits(st["rate_index"],
-                                            st["short_bits"])
+        return sum(self.window_payload_bits(st["rate_index"])
                    for st in self._inflight.values()
                    if st["stage"] == "rate_sent")
 
@@ -836,7 +883,7 @@ class BobSession(_Party):
                 self.window_id = max(self.window_id, w + 1)
                 continue
             q, r, s, k_pb = self._choose()
-            need = self.window_payload_bits(r, s)
+            need = self.window_payload_bits(r)
             if self.stream.remaining - self._reserved_bits() < need:
                 return  # wait for more sifted bits
             self._open_q.popleft()
@@ -861,23 +908,37 @@ class BobSession(_Party):
         r, q, s, k_pb = msg.rate_index, st["qber"], msg.short_bits, st["k_pb"]
         step = self.ladder.steps[r]
         assert msg.syndrome_bits == step.code.m
-        prog = self.programs(r, k_pb)
+        prog = self.programs(r)
         B = self.config.blocks_per_window
         P = self.payload_per_block(r)
-        take = self.window_payload_bits(r, s)
-        self.stream.ensure_contiguous(B * P)
+        take = self.window_payload_bits(r)
+        self.stream.ensure_contiguous(take)
         header = jnp.asarray(make_header(self.stream.start, s,
-                                         self._window_key(w)))
+                                         self._window_key(w),
+                                         test_bits_pb=k_pb,
+                                         affine=self._affine_for(w, P)))
+
+        def _padded(arr, width):
+            # Wire form carries only the disclosed columns; pad to the
+            # program's static width (padding is masked out in-program).
+            if isinstance(arr, jax.Array) or arr.shape[1] == width:
+                return arr
+            pad = np.zeros((B, width - arr.shape[1]), np.uint8)
+            return np.concatenate([arr, pad], axis=1)
+
+        test_alice = _padded(msg.test_bits, prog.k_pb)
+        short_alice = _padded(msg.short_values, prog.s_max)
         mag = np.float32(np.log((1.0 - q) / q))
         # Dispatch the fused program and DEFER the result sync: the device
         # queues this window's decode behind earlier ones while the host
         # goes back to the link.
         out = prog.bob(
-            self.stream.arena, header, jnp.asarray(msg.test_bits),
+            self.stream.arena, header, jnp.asarray(test_alice),
+            jnp.asarray(short_alice),
             jnp.asarray(msg.syndromes), jnp.asarray(msg.verify_hashes),
             jnp.float32(mag))
         self.stream.consume(take)
-        disclosed = (k_pb * B, step.leaked_bits() * B,
+        disclosed = ((k_pb + s) * B, step.leaked_bits() * B,
                      self.config.verify_hash_bits * B)
         st["disclosed"] = disclosed
         if self._mesh is not None:
@@ -898,9 +959,11 @@ class BobSession(_Party):
         self._pending.append(w)
 
     def _resolve_decode(self, w: int, st: dict) -> None:
-        """Second half of _on_syndromes: force the device results, ack.
-        The (B, 4) stats array is the window's ONLY device→host fetch."""
+        """Second half of _on_syndromes / _on_retry: force the device
+        results, ack.  The (B, 4) stats array is the round's ONLY
+        device→host fetch."""
         B = self.config.blocks_per_window
+        rnd = st["round"]
         stats = np.asarray(st.pop("stats_dev"))  # (B, 4) int32
         ok = stats[:, 0].astype(bool)
         st.update(stage="decoded", ok=ok, iters=stats[:, 1],
@@ -908,22 +971,23 @@ class BobSession(_Party):
                   mism=stats[:, 3].astype(np.int64))
         if ok.any():
             self._uncorrectable_streak = 0
-        self._update_qber_prior(st)
-        if "gled_dev" in st:
-            # Mesh mode: the decode-stage leakage comes from the device's
-            # psum'd global ledger (the REAL accounting, BASELINE config 5).
-            from qtpu.accounting import LEDGER_FIELDS
-            gled = np.asarray(st.pop("gled_dev"))
-            self.last_gled = gled
-            self.gled_by_window[w] = gled
-            idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
-            self.ledger.add(
-                qber_test_bits=int(gled[idx["qber_test_bits"]]),
-                syndrome_bits=int(gled[idx["syndrome_bits"]]),
-                verify_hash_bits=int(gled[idx["verify_hash_bits"]]))
+        if rnd == 0:
+            self._update_qber_prior(st)
+            if "gled_dev" in st:
+                # Mesh mode: the decode-stage leakage comes from the
+                # device's psum'd global ledger (BASELINE config 5).
+                from qtpu.accounting import LEDGER_FIELDS
+                gled = np.asarray(st.pop("gled_dev"))
+                self.last_gled = gled
+                self.gled_by_window[w] = gled
+                idx = {f: i for i, f in enumerate(LEDGER_FIELDS)}
+                self.ledger.add(
+                    qber_test_bits=int(gled[idx["qber_test_bits"]]),
+                    syndrome_bits=int(gled[idx["syndrome_bits"]]),
+                    verify_hash_bits=int(gled[idx["verify_hash_bits"]]))
         ack = VerifyAck(window_id=w, num_blocks=B,
-                        ok_mask=ok.astype(np.uint8), round=0)
-        if (~ok).any() and self.config.max_retries > 0:
+                        ok_mask=ok.astype(np.uint8), round=rnd)
+        if (~ok).any() and rnd < self.config.max_retries:
             # Keep the window in flight awaiting Alice's retry disclosure.
             self.link.send(ack)
             return
@@ -947,7 +1011,7 @@ class BobSession(_Party):
                 self._inflight[w] = st
             return  # duplicate / out-of-order retry
         r, k_pb = st["rate_index"], st["k_pb"]
-        prog = self.programs(r, k_pb)
+        prog = self.programs(r)
         B = self.config.blocks_per_window
         P = self.payload_per_block(r)
         failed = msg.failed_mask.astype(bool)
@@ -959,35 +1023,44 @@ class BobSession(_Party):
             full = np.zeros((B, msg.num_bits), np.uint8)
             full[failed] = bits
             bits = full
-        hat, rx_pin, pinmask, stats_dev = prog.retry(
-            self.stream.arena, st["header"], st["rx_orig_dev"],
-            st["rx_pin_dev"], st["pinmask_dev"], st["hat_dev"],
-            jnp.asarray(np.stack([st["ok"].astype(np.int32),
-                                  st["iters"].astype(np.int32),
-                                  st["errs"].astype(np.int32),
-                                  st["mism"].astype(np.int32)], axis=1)),
-            jnp.asarray(failed.astype(np.uint8)), jnp.asarray(positions),
-            jnp.asarray(bits), st["syndromes_dev"], st["exp_hashes_dev"],
-            jnp.float32(st["qmag"]))
-        stats = np.asarray(stats_dev)  # sync — retries are the rare path
-        ok = stats[:, 0].astype(bool)
+        stats_prev = jnp.asarray(np.stack(
+            [st["ok"].astype(np.int32), st["iters"].astype(np.int32),
+             st["errs"].astype(np.int32), st["mism"].astype(np.int32)],
+            axis=1))
+        R = 8 if B >= 8 else B
+        nf = int(failed.sum())
+        if nf <= R:
+            # Compact path: decode only the failed rows (padded to R).
+            rows = np.zeros(R, np.int32)
+            rows[:nf] = np.flatnonzero(failed)[:nf]
+            valid = np.zeros(R, np.uint8)
+            valid[:nf] = 1
+            out = prog.retry_small(
+                self.stream.arena, st["header"], st["rx_orig_dev"],
+                st["rx_pin_dev"], st["pinmask_dev"], st["hat_dev"],
+                stats_prev, jnp.asarray(rows), jnp.asarray(valid),
+                jnp.asarray(positions), jnp.asarray(bits),
+                st["syndromes_dev"], st["exp_hashes_dev"],
+                jnp.float32(st["qmag"]))
+        else:
+            out = prog.retry(
+                self.stream.arena, st["header"], st["rx_orig_dev"],
+                st["rx_pin_dev"], st["pinmask_dev"], st["hat_dev"],
+                stats_prev,
+                jnp.asarray(failed.astype(np.uint8)), jnp.asarray(positions),
+                jnp.asarray(bits), st["syndromes_dev"], st["exp_hashes_dev"],
+                jnp.float32(st["qmag"]))
+        hat, rx_pin, pinmask, stats_dev = out
         extra = st["extra_leak"]
         extra[failed] += msg.num_bits
         self.ledger.add(syndrome_bits=msg.num_bits * int(failed.sum()))
-        st.update(hat_dev=hat, rx_pin_dev=rx_pin, pinmask_dev=pinmask,
-                  ok=ok, round=msg.round + 1, errs=stats[:, 2].astype(np.int64),
-                  iters=stats[:, 1], mism=stats[:, 3].astype(np.int64))
-        ack = VerifyAck(window_id=w, num_blocks=B,
-                        ok_mask=ok.astype(np.uint8), round=st["round"])
-        if (~ok).any() and st["round"] < self.config.max_retries:
-            self._inflight[w] = st
-            self.link.send(ack)
-            return
-        self._finalize_window(w, st)
-        self._cache_ack(w, ack)
-        self.link.send(ack)
-        self._sync_auth_bits()
-        self._service_opens()
+        # Defer the stats sync like the first decode round: the retried
+        # window re-enters the pending queue and resolves in order.
+        st.update(stage="decoding", hat_dev=hat, rx_pin_dev=rx_pin,
+                  pinmask_dev=pinmask, stats_dev=stats_dev,
+                  round=msg.round + 1)
+        self._inflight[w] = st
+        self._pending.append(w)
 
     def _update_qber_prior(self, st: dict) -> None:
         """Fold this window's exact error evidence into the decaying QBER
@@ -998,13 +1071,13 @@ class BobSession(_Party):
         ok = st["ok"]
         s = st["short_bits"]
         k_pb = st["k_pb"]
-        per_block = self.payload_per_block(st["rate_index"]) - s
+        per_block = self.payload_per_block(st["rate_index"])
         errs = float(st["errs"][ok].sum())
         bits = float(per_block * int(ok.sum()))
-        # Failed blocks: only the disclosed test bits are ground truth.
+        # Failed blocks: only the disclosed bits are ground truth.
         failed = ~ok
         errs += float(st["mism"][failed].sum())
-        bits += float(k_pb * int(failed.sum()))
+        bits += float((k_pb + s) * int(failed.sum()))
         if bits > 0:
             self.qest.update_prior(errs, bits)
 
@@ -1017,7 +1090,7 @@ class BobSession(_Party):
         iters = st["iters"]
         q = st["qber"]
         extra = st["extra_leak"]
-        per_block_stream = self.payload_per_block(r) - s
+        per_block_stream = self.payload_per_block(r)
         if self.config.pa_mode == "stream":
             final = self._stream_accumulate(st["hat_dev"], ok, r, k_pb, w,
                                             s, extra)
@@ -1034,7 +1107,7 @@ class BobSession(_Party):
             blocks_ok=int(ok.sum()), iters_mean=float(iters.mean()),
             iters_max=int(iters.max()), payload_bits=per_block_stream * B,
             leaked_syndrome=step.leaked_bits() * B,
-            leaked_qber=k_pb * B,
+            leaked_qber=(k_pb + s) * B,
             leaked_hash=self.config.verify_hash_bits * B,
             final_bits=final,
             blocks_retried=int((extra > 0).sum()),

@@ -1,42 +1,47 @@
-"""Fused per-window device programs for the reconciliation pipeline (v2).
+"""Fused per-window device programs for the reconciliation pipeline (v2.1).
 
 Round-2 measured the decode kernel at multi-Gbit/s while the chain around it
 ran 360x slower: every window serialized syndromes through the host, framed
 payload in host NumPy and re-uploaded it, and fetched PA output eagerly —
 ~10 host<->device transfers per window on a link with ~26 ms fixed cost per
 transfer (round-2 verdict missing #1).  v2 moves the WHOLE per-window data
-path on device:
+path on device; v2.1 additionally shapes the framing for the TPU's strengths
+(measured: a (B,P) random gather costs ~59 ms on-chip while elementwise maps
+and small scatters are ~3-9 ms):
 
-  * The sifted stream lives in a device arena (qtpu.stream.DeviceStream);
-    framing is a ``dynamic_slice`` + gather inside the window programs.
-  * All protocol randomness a window needs (fine-shortening mask + fill,
-    whole-column shortening fill, QBER test positions, verification seeds,
-    Alice's puncture pad) is derived ON DEVICE from one 64-bit window key
-    (threefry fold_in tree, per-block keys folded by GLOBAL block index so
-    mesh sharding cannot change protocol randomness).  The host uploads one
-    8-word header per program call instead of megabytes of framed payload.
-  * QBER test bits are INLINE: instead of carving a disclosure segment out
-    of the stream (host-side delete/concatenate), Bob samples k_pb payload
-    positions per block from the protocol PRNG; Alice's program discloses
-    her bits there; Bob's program counts mismatches (the QBER measurement)
-    AND pins those now-public positions at LLR ±BIG — the disclosure doubles
-    as free shortening, so its leakage is recovered as decode strength.
-  * Syndromes / hashes / disclosed bits stay device arrays end-to-end over
-    an in-process DirectLink; a serializing link packs them at the wire.
-  * Bob's per-window protocol decision needs exactly ONE device->host fetch:
-    the (B, 4) stats array [ok, iters, errs, test_mismatches].
+  * The sifted stream lives in a device arena (qtpu.stream.DeviceStream).
+    A window consumes a CONSTANT B*P bits and framing is a pure
+    ``dynamic_slice`` + reshape — no rank gather, no compaction mapping.
+  * Fine-rate shortening is DISCLOSURE-BASED: instead of skipping s stream
+    positions per block (which forced a (B,P) gather), Alice discloses her
+    actual payload bits at s affine-stride positions inside the Syndromes
+    message; Bob pins them at LLR ±BIG.  Information-theoretically identical
+    (the s bits are subtracted from the final length either way), but the
+    pin mask is an ELEMENTWISE affine-inverse test and the values move as a
+    small (B, S_max) gather/scatter.  The disclosed bits also feed the QBER
+    estimator for free.
+  * Inline QBER test bits use the same mechanism with per-block affine
+    offsets (k_pb positions per block, runtime count in the header).
+  * All remaining protocol randomness (whole-column shortening fill,
+    verification seeds, Alice's puncture pad, per-block affine offsets)
+    derives ON DEVICE from one 64-bit window key (threefry fold_in tree,
+    per-block values folded by GLOBAL block index so mesh sharding cannot
+    change protocol randomness).  The host uploads one 12-word header per
+    program call.
+  * Bob's per-window protocol decision needs exactly ONE device->host
+    fetch: the (B, 4) stats array [ok, iters, errs, pin_mismatches].
 
-Programs per ladder rung (static shapes, compiled once per (rung, k_pb)):
+Programs per ladder rung (static shapes, compiled once per rung — the
+adaptive disclosure sizes s and k are runtime header values):
 
-  alice:        (arena, header) -> (payload, syn, hashes, test_bits)
-  bob:          (arena, header, test_alice, syn, exp_hashes, qmag)
-                -> (hat, rx_orig, rx_pin, pinmask, stats[, gled])
+  alice:        (arena, header) -> (payload, syn, hashes, test_bits,
+                                    short_vals)
+  bob:          (arena, header, test_alice, short_alice, syn, exp_hashes,
+                 qmag) -> (hat, rx_orig, rx_pin, pinmask, stats[, gled])
   retry_gather: (payload, positions) -> (B, k_r) disclosed retry bits
-  retry:        (rx_orig, rx_pin, pinmask, hat, stats, failed, positions,
-                 bits, syn, exp_hashes, qmag, header) -> merged state
+  retry:        re-decode failed blocks with extra pinned disclosures
   pa:           (payload, pakey) -> (B, l_max) uint8 final-key rows
-  pack:         (B, L) uint8 -> (B, ceil(L/32)) uint32 (bit-packed drain —
-                final keys cross the tunnel 8x smaller, on demand)
+  pack:         (B, L) uint8 -> (B, ceil(L/32)) uint32 (bit-packed drain)
 
 Reference capability: the per-processblock compute of ecd2 (SURVEY.md §4.3/
 §4.4), QBER estimation sampling (§3 #11) and the PRNG contract (§3 #16).
@@ -45,6 +50,7 @@ Reference capability: the per-processblock compute of ecd2 (SURVEY.md §4.3/
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -54,19 +60,38 @@ import numpy as np
 from qtpu.ldpc.codes import QCCode
 from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
 
-__all__ = ["WindowPrograms", "make_window_programs", "make_header"]
+__all__ = ["WindowPrograms", "make_window_programs", "make_header",
+           "choose_affine"]
 
-HEADER_WORDS = 8
+HEADER_WORDS = 12
+
+# Window-key fold tags (both parties derive identically on device).
+TAG_VERIFY, TAG_TOFF, TAG_SHORTFILL = 3, 4, 5
+
+
+def choose_affine(rng_bits, P: int) -> tuple[int, int]:
+    """(a, a^-1 mod P) with gcd(a, P) = 1, from an iterator of PRNG ints.
+    The affine stride p_i = (a*i + b) mod P gives s DISTINCT, evenly-spread
+    disclosure positions with an elementwise-invertible mask."""
+    for v in rng_bits:
+        a = int(v) % P
+        if a > 1 and math.gcd(a, P) == 1:
+            return a, pow(a, -1, P)
+    raise ValueError("no invertible stride found")
 
 
 def make_header(cursor: int, short_bits: int, wkey_data: np.ndarray,
-                private_key_data: np.ndarray | None = None) -> np.ndarray:
-    """One (8,) uint32 header — the ONLY per-window host->device upload.
+                private_key_data: np.ndarray | None = None,
+                test_bits_pb: int = 0, affine: tuple[int, int, int] = (1, 1, 0)
+                ) -> np.ndarray:
+    """One (12,) uint32 header — the ONLY per-window host->device upload.
 
     [0] stream cursor (bits, absolute arena offset)
-    [1] extra-shortening bits per block (fine rate adaptation)
+    [1] s: disclosed-shortening positions per block (runtime, <= S_max)
     [2:4] shared window key (both parties derive the same subkeys on device)
     [4:6] Alice-private key (puncture pad; zeros on Bob's side)
+    [6] k: effective QBER test bits per block (runtime, <= K_max)
+    [7:10] affine stride (a, a^-1 mod P, b) for the disclosure positions
     """
     h = np.zeros(HEADER_WORDS, np.uint32)
     h[0] = cursor
@@ -74,6 +99,8 @@ def make_header(cursor: int, short_bits: int, wkey_data: np.ndarray,
     h[2:4] = np.asarray(wkey_data, np.uint32)
     if private_key_data is not None:
         h[4:6] = np.asarray(private_key_data, np.uint32)
+    h[6] = test_bits_pb
+    h[7:10] = affine
     return h
 
 
@@ -97,10 +124,12 @@ class WindowPrograms(NamedTuple):
     bob: callable
     retry_gather: callable
     retry: callable
+    retry_small: callable
     pa: callable
     pack: callable
     l_max: int
-    k_pb: int       # QBER test bits disclosed per block (static)
+    k_pb: int       # STATIC max QBER test bits per block (runtime k <= this)
+    s_max: int      # STATIC max disclosed-shortening bits per block
     retry_bits: int  # retry disclosure bits per block (static)
 
 
@@ -121,25 +150,35 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
                          punct_pos: np.ndarray, short_pos: np.ndarray,
                          max_iters: int, alg: str, verify_hash_bits: int,
                          l_max: int, batch: int, k_pb: int,
-                         retry_bits: int = 0, mesh=None) -> WindowPrograms:
-    """Build the fused programs for one ladder rung at one test-bit size.
+                         s_max: int = 0, retry_bits: int = 0,
+                         mesh=None) -> WindowPrograms:
+    """Build the fused programs for one ladder rung.
 
     pay_pos / punct_pos / short_pos: static variable-index arrays (the rung's
     column classes, expanded to bit positions).  l_max: the rung's maximum PA
-    output length.  batch: blocks per window (B).  k_pb: QBER test positions
-    sampled (with replacement) per block.  mesh: optional jax.sharding.Mesh —
-    DP-shards Bob's program over the first axis with a psum'd device ledger
-    (BASELINE config 5).
+    output length.  batch: blocks per window (B).  k_pb / s_max: STATIC
+    maxima of the per-block QBER-test and disclosed-shortening position
+    counts (runtime counts ride the header).  mesh: optional
+    jax.sharding.Mesh — DP-shards Bob's program over the first axis with a
+    psum'd device ledger (BASELINE config 5).
     """
     n = code.n
     B = int(batch)
     P = int(pay_pos.size)
+    assert P <= 1 << 17, "affine-mod arithmetic assumes P <= 2^17"
     Vh = int(verify_hash_bits)
     Kq = int(k_pb)
+    Sm = int(s_max)
     Kr = int(retry_bits)
-    pay_pos = jnp.asarray(pay_pos, jnp.int32)
-    punct_pos = jnp.asarray(punct_pos, jnp.int32)
-    short_pos = jnp.asarray(short_pos, jnp.int32)
+    pay_np = np.asarray(pay_pos, np.int64)
+    # Payload positions are whole z-columns (QC structure): scatter/gather
+    # between payload vectors and codewords by COLUMN SLICES, never by
+    # element indices.
+    pay_cols = np.unique(pay_np // code.z)
+    punct_cols = np.unique(np.asarray(punct_pos, np.int64) // code.z) \
+        if len(punct_pos) else np.zeros(0, np.int64)
+    short_cols = np.unique(np.asarray(short_pos, np.int64) // code.z) \
+        if len(short_pos) else np.zeros(0, np.int64)
     decoder = _pick_decoder(code, max_iters, alg, B)
 
     edge_row = [int(x) for x in code.edge_row]
@@ -147,8 +186,22 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
     edge_shift = [int(x) for x in code.edge_shift]
     mb, nb, z = code.mb, code.nb, code.z
 
-    # Window-key fold tags (both parties derive identically on device).
-    TAG_XMASK, TAG_XFILL, TAG_VERIFY, TAG_TPOS, TAG_SHORTFILL = 1, 2, 3, 4, 5
+    # Column-class layout: order codeword columns by class for slice-based
+    # assembly (payload | short | punct), then place into base columns.
+    col_order = np.concatenate([pay_cols, short_cols, punct_cols])
+    inv_order = np.argsort(col_order)     # base col -> position in class order
+
+    # Affine modular arithmetic in uint32 without 64-bit: split the
+    # multiplier so every partial product stays below 2^32 (P <= 2^17).
+    SH = 9
+
+    def _amul(a, x):
+        """(a * x) mod P elementwise, a scalar uint32 < P, x uint32 < P."""
+        a_hi = a >> SH
+        a_lo = a & jnp.uint32((1 << SH) - 1)
+        t1 = (a_hi * ((x << SH) % jnp.uint32(P))) % jnp.uint32(P)
+        t2 = (a_lo * x) % jnp.uint32(P)
+        return (t1 + t2) % jnp.uint32(P)
 
     def _encode(x_bits):
         """(b, n) -> (b, m) syndrome, roll+XOR over base edges."""
@@ -164,94 +217,148 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
     def _block_keys(key, b, row0):
         """Per-block threefry keys folded by GLOBAL block index — block i's
         randomness is identical no matter how the batch is sharded."""
+        return _keys_at(key, row0 + jnp.arange(b, dtype=jnp.uint32))
+
+    def _keys_at(key, idx):
         return jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            row0 + jnp.arange(b, dtype=jnp.uint32))
+            idx.astype(jnp.uint32))
+
+    def _seed_rows_at(key, idx, length):
+        W = -(-length // 32)
+        words = jax.vmap(
+            lambda k: jax.random.bits(k, (W,), jnp.uint32)
+        )(_keys_at(key, idx))
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((words[:, :, None] >> shifts) & 1).astype(jnp.uint8)
+        return bits.reshape(idx.shape[0], W * 32)[:, :length]
 
     def _seed_rows(key, b, length, row0):
-        """(b, length) protocol-random bits from per-block folded keys."""
-        return jax.vmap(
-            lambda k: jax.random.bernoulli(k, 0.5, (length,))
-        )(_block_keys(key, b, row0)).astype(jnp.uint8)
+        """(b, length) protocol-random bits from per-block folded keys.
+        Generated as uint32 words + bit unpack — 32x fewer threefry
+        invocations than per-bit bernoulli draws."""
+        W = -(-length // 32)
+        words = jax.vmap(
+            lambda k: jax.random.bits(k, (W,), jnp.uint32)
+        )(_block_keys(key, b, row0))
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((words[:, :, None] >> shifts) & 1).astype(jnp.uint8)
+        return bits.reshape(b, W * 32)[:, :length]
 
     def _wkey(header):
-        return jax.random.wrap_key_data(
-            jax.lax.dynamic_slice(header, (2,), (2,)))
+        return jax.random.wrap_key_data(header[2:4])
 
     def _frame(arena, header, b, row0):
-        """Stream framing on device: returns (payload, xmask, zeros_idx,
-        tpos, take) where payload is (b, P) uint8 with shared-PRNG fill at
-        the s extra-shortened positions, xmask is the (P,) shortening mask,
-        tpos the (b, Kq) QBER test positions (payload coordinates), and
-        take = P - s the stream bits consumed per block."""
+        """(b, P) payload slab: a contiguous reshape of the stream."""
         cursor = header[0].astype(jnp.int32)
-        s = header[1].astype(jnp.int32)
-        wk = _wkey(header)
-        take = P - s
-        flat = jax.lax.dynamic_slice(
-            arena, (cursor + row0.astype(jnp.int32) * take,), (b * P,))
-        # Extra-shortening mask: the s positions with the smallest uniform
-        # draw (exact count, identical on both parties, s is data not shape).
-        u = jax.random.uniform(jax.random.fold_in(wk, TAG_XMASK), (P,))
-        ranks = jnp.argsort(jnp.argsort(u))
-        xmask = ranks < s
-        # Stream gather: payload position p takes the r(p)-th stream bit of
-        # its block, where r = rank among non-shortened positions.
-        nz_rank = jnp.cumsum(1 - xmask.astype(jnp.int32)) - 1
-        idx = jnp.arange(b, dtype=jnp.int32)[:, None] * take + nz_rank[None, :]
-        gathered = flat[idx.reshape(-1)].reshape(b, P)
-        xfill = _seed_rows(jax.random.fold_in(wk, TAG_XFILL), b, P, row0)
-        payload = jnp.where(xmask[None, :], xfill, gathered)
-        # Inline QBER test positions: k_pb per block, sampled (with
-        # replacement) over the block's non-shortened payload positions.
-        zeros_idx = jnp.argsort(xmask, stable=True)   # payload-rank -> position
-        tkeys = _block_keys(jax.random.fold_in(wk, TAG_TPOS), b, row0)
-        tr = jax.vmap(lambda k: jax.random.randint(k, (Kq,), 0, take))(tkeys)
-        tpos = zeros_idx[tr]
-        return payload, xmask, tpos, take
+        off = cursor + row0.astype(jnp.int32) * P
+        flat = jax.lax.dynamic_slice(arena, (off,), (b * P,))
+        return flat.reshape(b, P)
+
+    def _disclosure_positions(header, b, row0):
+        """Affine disclosure positions.  Returns (pos_s (Sm,), pos_t
+        (b, Kq), boff (b,)): the shortening family is window-level
+        (stride a, offset b), the test family continues the same stride at
+        per-block PRNG offsets."""
+        a = header[7]
+        boff_s = header[9]
+        i = jnp.arange(Sm, dtype=jnp.uint32)
+        pos_s = (_amul(a, i) + boff_s) % jnp.uint32(P)
+        keys = _block_keys(jax.random.fold_in(_wkey(header), TAG_TOFF),
+                           b, row0)
+        boff_t = jax.vmap(lambda k: jax.random.randint(
+            k, (), 0, P, dtype=jnp.uint32))(keys)
+        j = jnp.arange(Sm, Sm + Kq, dtype=jnp.uint32)
+        pos_t = (_amul(a, j)[None, :] + boff_t[:, None]) % jnp.uint32(P)
+        return pos_s.astype(jnp.int32), pos_t.astype(jnp.int32), boff_t
+
+    def _pin_masks(header, b, row0, boff_t):
+        """Elementwise pin masks (no scatter): position p is a shortening
+        pin iff a^-1(p - b) mod P < s, a test pin iff its per-block inverse
+        lands in [Sm, Sm + k)."""
+        ainv = header[8]
+        s = header[1]
+        k = header[6]
+        p = jnp.arange(P, dtype=jnp.uint32)
+        # (p - b) mod P via p + P - b: offsets are < P, so the sum stays in
+        # uint32 and never underflows (uint32 wraparound is mod 2^32, NOT
+        # mod P).
+        inv_s = _amul(ainv, (p + jnp.uint32(P) - header[9]) % jnp.uint32(P))
+        m_short = (inv_s < s)[None, :]
+        inv_t = jax.vmap(
+            lambda bo: _amul(ainv, (p + jnp.uint32(P) - bo) % jnp.uint32(P))
+        )(boff_t)
+        m_test = (inv_t >= jnp.uint32(Sm)) & (inv_t < jnp.uint32(Sm) + k)
+        return m_short | m_test
 
     def _vseeds(header, b, row0):
         return _seed_rows(jax.random.fold_in(_wkey(header), TAG_VERIFY),
                           b, P + Vh - 1, row0)
 
-    def _scatter_codeword(payload, header, b, row0, punct_bits):
-        x = jnp.zeros((b, n), jnp.uint8)
-        x = x.at[:, pay_pos].set(payload)
-        if short_pos.size:
+    def _verify_hash(t_bits, x_bits):
+        """(b, P+Vh-1) x (b, P) -> (b, Vh) Toeplitz hash as Vh shifted
+        AND+popcount dot products — for tiny output widths this is one
+        streaming pass over the operands, ~10x cheaper than the FFT path
+        on TPU (XLA FFT is a multi-pass HBM hog)."""
+        xi = x_bits.astype(jnp.int32)
+        cols = [jnp.sum(jax.lax.dynamic_slice_in_dim(t_bits, j, P, 1)
+                        .astype(jnp.int32) * xi, axis=1)
+                for j in range(Vh)]
+        return (jnp.stack(cols, axis=1) & 1).astype(jnp.uint8)
+
+    def _build_codeword(payload, header, b, row0, punct_bits):
+        """Assemble (b, n) codeword by COLUMN CONCATENATION (class-ordered
+        slices + one static column permutation — no element scatter)."""
+        parts = [payload.reshape(b, -1, z)]
+        if short_cols.size:
             sf = _seed_rows(jax.random.fold_in(_wkey(header), TAG_SHORTFILL),
-                            b, int(short_pos.size), row0)
-            x = x.at[:, short_pos].set(sf)
-        if punct_pos.size:
-            x = x.at[:, punct_pos].set(punct_bits)
-        return x
+                            b, int(short_cols.size) * z, row0)
+            parts.append(sf.reshape(b, -1, z))
+        if punct_cols.size:
+            parts.append(punct_bits.reshape(b, -1, z))
+        x = jnp.concatenate(parts, axis=1)     # class order
+        return x[:, inv_order, :].reshape(b, n)
+
+    def _extract_payload(x_bits, b):
+        """(b, n) codeword -> (b, P) payload columns (static slices)."""
+        xb = x_bits.reshape(b, nb, z)
+        return xb[:, pay_cols, :].reshape(b, P)
 
     @jax.jit
     def alice_program(arena, header):
-        payload, xmask, tpos, take = _frame(arena, header,
-                                            B, jnp.uint32(0))
-        if punct_pos.size:
-            pk = jax.random.wrap_key_data(
-                jax.lax.dynamic_slice(header, (4,), (2,)))
-            punct = _seed_rows(pk, B, int(punct_pos.size), jnp.uint32(0))
+        payload = _frame(arena, header, B, jnp.uint32(0))
+        if punct_cols.size:
+            pk = jax.random.wrap_key_data(header[4:6])
+            punct = _seed_rows(pk, B, int(punct_cols.size) * z, jnp.uint32(0))
         else:
             punct = jnp.zeros((B, 0), jnp.uint8)
-        x = _scatter_codeword(payload, header, B, jnp.uint32(0), punct)
+        x = _build_codeword(payload, header, B, jnp.uint32(0), punct)
         syn = _encode(x)
-        hashes = _toeplitz_hash(_vseeds(header, B, jnp.uint32(0)), payload, Vh)
-        test_bits = jnp.take_along_axis(payload, tpos, axis=1)
-        return payload, syn, hashes, test_bits
+        hashes = _verify_hash(_vseeds(header, B, jnp.uint32(0)), payload)
+        pos_s, pos_t, _ = _disclosure_positions(header, B, jnp.uint32(0))
+        short_vals = payload[:, pos_s]                       # (B, Sm)
+        test_vals = jnp.take_along_axis(payload, pos_t, axis=1)
+        return payload, syn, hashes, test_vals, short_vals
 
-    def _bob_core(arena, header, test_alice, syndromes, exp_hashes, qmag,
-                  b, row0, local_decoder):
-        rx_orig, xmask, tpos, take = _frame(arena, header, b, row0)
+    def _bob_core(arena, header, test_alice, short_alice, syndromes,
+                  exp_hashes, qmag, b, row0, local_decoder):
+        rx_orig = _frame(arena, header, b, row0)
+        pos_s, pos_t, boff_t = _disclosure_positions(header, b, row0)
+        s = header[1].astype(jnp.int32)
+        k = header[6].astype(jnp.int32)
+        # Pin disclosed positions to Alice's (true) values: disclosure
+        # doubles as shortening.  Runtime counts mask via out-of-bounds
+        # scatter (mode="drop").
         rows = jnp.arange(b)[:, None]
-        # Pin the disclosed test positions to Alice's (true) values: the
-        # QBER disclosure doubles as extra shortening.
-        rx_pin = rx_orig.at[rows, tpos].set(test_alice)
-        pinmask = jnp.broadcast_to(xmask[None, :], (b, P))
-        pinmask = pinmask.at[rows, tpos].set(True)
-        mism = jnp.sum(
-            (jnp.take_along_axis(rx_orig, tpos, axis=1) != test_alice
-             ).astype(jnp.int32), axis=1)
+        pos_s_m = jnp.where(jnp.arange(Sm)[None, :] < s, pos_s[None, :], P)
+        pos_t_m = jnp.where(jnp.arange(Kq)[None, :] < k, pos_t, P)
+        rx_pin = rx_orig.at[rows, pos_s_m].set(short_alice, mode="drop")
+        rx_pin = rx_pin.at[rows, pos_t_m].set(test_alice, mode="drop")
+        pinmask = _pin_masks(header, b, row0, boff_t)
+        # Every disclosed bit is a ground-truth channel sample: the pinned
+        # copy differs from the received copy exactly where Alice's
+        # disclosed value caught a channel error, so the estimator's
+        # mismatch count is one elementwise XOR-popcount (no gathers).
+        mism = jnp.sum((rx_pin ^ rx_orig).astype(jnp.int32), axis=1)
         hat, stats = _decode_core(arena, header, rx_orig, rx_pin, pinmask,
                                   syndromes, exp_hashes, qmag, b, row0,
                                   local_decoder)
@@ -265,17 +372,20 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         sign = 1.0 - 2.0 * rx_pin.astype(jnp.float32)
         mag = jnp.where(pinmask, jnp.float32(BIG_LLR),
                         qmag.astype(jnp.float32))
-        llr = jnp.zeros((b, n), jnp.float32)
-        llr = llr.at[:, pay_pos].set(sign * mag)
-        if short_pos.size:
+        pay_llr = (sign * mag).reshape(b, -1, z)
+        parts = [pay_llr]
+        if short_cols.size:
             sf = _seed_rows(jax.random.fold_in(_wkey(header), TAG_SHORTFILL),
-                            b, int(short_pos.size), row0)
+                            b, int(short_cols.size) * z, row0)
             ssign = 1.0 - 2.0 * sf.astype(jnp.float32)
-            llr = llr.at[:, short_pos].set(ssign * jnp.float32(BIG_LLR))
+            parts.append((ssign * jnp.float32(BIG_LLR)).reshape(b, -1, z))
+        if punct_cols.size:
+            parts.append(jnp.zeros((b, int(punct_cols.size), z), jnp.float32))
+        llr = jnp.concatenate(parts, axis=1)[:, inv_order, :].reshape(b, n)
         res = local_decoder(llr, syndromes)
-        hat = res.bits[:, pay_pos]
+        hat = _extract_payload(res.bits, b)
         hat = jnp.where(pinmask, rx_pin, hat)
-        hashes = _toeplitz_hash(_vseeds(header, b, row0), hat, Vh)
+        hashes = _verify_hash(_vseeds(header, b, row0), hat)
         ok = jnp.all(hashes == exp_hashes, axis=1) & res.converged
         errs = jnp.sum((hat ^ rx_orig).astype(jnp.int32), axis=1)
         stats = jnp.stack([ok.astype(jnp.int32),
@@ -284,16 +394,17 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
 
     if mesh is None:
         @jax.jit
-        def bob_program(arena, header, test_alice, syndromes, exp_hashes,
-                        qmag):
-            return _bob_core(arena, header, test_alice, syndromes,
-                             exp_hashes, qmag, B, jnp.uint32(0), decoder)
+        def bob_program(arena, header, test_alice, short_alice, syndromes,
+                        exp_hashes, qmag):
+            return _bob_core(arena, header, test_alice, short_alice,
+                             syndromes, exp_hashes, qmag, B, jnp.uint32(0),
+                             decoder)
     else:
         from jax.sharding import PartitionSpec as Psp
         from qtpu.accounting import LEDGER_FIELDS
         axis = mesh.axis_names[0]
         bl = B // mesh.size
-        leaked_per_block = code.m - int(punct_pos.shape[0])
+        leaked_per_block = code.m - int(len(punct_cols)) * z
         idx_f = {f: i for i, f in enumerate(LEDGER_FIELDS)}
         shard_decoder = _pick_decoder(code, max_iters, alg, bl)
 
@@ -301,29 +412,29 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         @functools.partial(
             jax.shard_map, mesh=mesh,
             in_specs=(Psp(), Psp(), Psp(axis, None), Psp(axis, None),
-                      Psp(axis, None), Psp()),
+                      Psp(axis, None), Psp(axis, None), Psp()),
             out_specs=(Psp(axis, None), Psp(axis, None), Psp(axis, None),
                        Psp(axis, None), Psp(axis, None), Psp()),
         )
-        def bob_program(arena, header, test_alice, syndromes, exp_hashes,
-                        qmag):
+        def bob_program(arena, header, test_alice, short_alice, syndromes,
+                        exp_hashes, qmag):
             i = jax.lax.axis_index(axis)
             row0 = (i * bl).astype(jnp.uint32)
             hat, rx_orig, rx_pin, pinmask, stats = _bob_core(
-                arena, header, test_alice, syndromes, exp_hashes, qmag,
-                bl, row0, shard_decoder)
+                arena, header, test_alice, short_alice, syndromes,
+                exp_hashes, qmag, bl, row0, shard_decoder)
             # Per-shard decode-stage ledger, psum'd over ICI — the global
             # leaked-bit accounting of BASELINE config 5 fed by the REAL
-            # session quantities (puncture credit, inline test disclosure,
-            # fine shortening via P - take).
+            # session quantities (puncture credit, inline disclosures).
             s = header[1].astype(jnp.int32)
+            k = header[6].astype(jnp.int32)
             okc = jnp.sum(stats[:, 0])
             led = jnp.zeros((len(LEDGER_FIELDS),), jnp.int32)
             led = led.at[idx_f["syndrome_bits"]].set(leaked_per_block * bl)
             led = led.at[idx_f["verify_hash_bits"]].set(Vh * bl)
-            led = led.at[idx_f["qber_test_bits"]].set(Kq * bl)
-            led = led.at[idx_f["reconciled_bits"]].set(okc * (P - s))
-            led = led.at[idx_f["discarded_bits"]].set((bl - okc) * (P - s))
+            led = led.at[idx_f["qber_test_bits"]].set((k + s) * bl)
+            led = led.at[idx_f["reconciled_bits"]].set(okc * P)
+            led = led.at[idx_f["discarded_bits"]].set((bl - okc) * P)
             led = led.at[idx_f["blocks_ok"]].set(okc)
             led = led.at[idx_f["blocks_failed"]].set(bl - okc)
             gled = jax.lax.psum(led, axis)
@@ -359,6 +470,65 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
                              stats[:, 3]], axis=1)
         return hat_m, rx2, pin2, stats_m
 
+    R = 8 if B >= 8 else B
+    small_decoder = _pick_decoder(code, max_iters, alg, R) if R < B else decoder
+
+    @jax.jit
+    def retry_small(arena, header, rx_orig, rx_pin, pinmask, hat, stats,
+                    rows, rows_valid, positions, bits, syndromes, exp_hashes,
+                    qmag):
+        """Compact retry: decode only the (<= R) failed rows instead of the
+        whole window — a retry round costs ~R/B of a full decode.  rows:
+        (R,) block indices (padded, rows_valid masks the pads); bits: (B,
+        Kr) disclosure (rows gathered in-program)."""
+        pinb = pinmask.astype(bool)
+        rx2_rows = rx_pin[rows].at[:, positions].set(bits[rows])
+        pin2_rows = pinb[rows].at[:, positions].set(True)
+        rxo_rows = rx_orig[rows]
+        sign = 1.0 - 2.0 * rx2_rows.astype(jnp.float32)
+        mag = jnp.where(pin2_rows, jnp.float32(BIG_LLR),
+                        qmag.astype(jnp.float32))
+        parts = [(sign * mag).reshape(R, -1, z)]
+        if short_cols.size:
+            sf = _seed_rows_at(jax.random.fold_in(_wkey(header),
+                                                  TAG_SHORTFILL),
+                               rows, int(short_cols.size) * z)
+            parts.append(((1.0 - 2.0 * sf.astype(jnp.float32))
+                          * jnp.float32(BIG_LLR)).reshape(R, -1, z))
+        if punct_cols.size:
+            parts.append(jnp.zeros((R, int(punct_cols.size), z), jnp.float32))
+        llr = jnp.concatenate(parts, axis=1)[:, inv_order, :].reshape(R, n)
+        res = small_decoder(llr, syndromes[rows])
+        hat_r = _extract_payload(res.bits, R)
+        hat_r = jnp.where(pin2_rows, rx2_rows, hat_r)
+        vseeds = _seed_rows_at(jax.random.fold_in(_wkey(header), TAG_VERIFY),
+                               rows, P + Vh - 1)
+        xi = hat_r.astype(jnp.int32)
+        cols = [jnp.sum(jax.lax.dynamic_slice_in_dim(vseeds, j, P, 1)
+                        .astype(jnp.int32) * xi, axis=1)
+                for j in range(Vh)]
+        hashes = (jnp.stack(cols, axis=1) & 1).astype(jnp.uint8)
+        ok_r = (jnp.all(hashes == exp_hashes[rows], axis=1) & res.converged
+                & rows_valid.astype(bool))
+        errs_r = jnp.sum((hat_r ^ rxo_rows).astype(jnp.int32), axis=1)
+        # Merge rows back (pad rows carry valid=False and change nothing
+        # observable: their ok stays False in stats via the where below).
+        valid = rows_valid.astype(bool)[:, None]
+        hat_m = hat.at[rows].set(jnp.where(valid, hat_r, hat[rows]))
+        rx_pin_m = rx_pin.at[rows].set(jnp.where(valid, rx2_rows,
+                                                 rx_pin[rows]))
+        pin_m = pinb.at[rows].set(jnp.where(valid, pin2_rows, pinb[rows]))
+        okv = rows_valid.astype(bool)
+        st_rows = stats[rows]
+        st_new = jnp.stack([
+            jnp.where(okv, ok_r.astype(jnp.int32), st_rows[:, 0]),
+            jnp.maximum(st_rows[:, 1], jnp.where(okv, res.iterations, 0)
+                        .astype(jnp.int32)),
+            jnp.where(okv, errs_r, st_rows[:, 2]),
+            st_rows[:, 3]], axis=1)
+        stats_m = stats.at[rows].set(st_new)
+        return hat_m, rx_pin_m, pin_m, stats_m
+
     if l_max > 0:
         @jax.jit
         def pa_program(payload, pakey_data):
@@ -385,5 +555,6 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
 
     return WindowPrograms(alice=alice_program, bob=bob_program,
                           retry_gather=retry_gather, retry=retry_program,
-                          pa=pa_program, pack=pack_rows,
-                          l_max=l_max, k_pb=Kq, retry_bits=Kr)
+                          retry_small=retry_small, pa=pa_program,
+                          pack=pack_rows,
+                          l_max=l_max, k_pb=Kq, s_max=Sm, retry_bits=Kr)

@@ -53,7 +53,7 @@ pay = np.arange(code.n, dtype=np.int64)
 empty = np.zeros(0, np.int64)
 B, k_pb = 16, 8
 kwargs = dict(max_iters=20, alg="minsum", verify_hash_bits=64, l_max=128,
-              batch=B, k_pb=k_pb)
+              batch=B, k_pb=k_pb, s_max=32)
 progs = make_window_programs(code, pay, empty, empty, mesh=mesh, **kwargs)
 # Alice's side mirrored LOCALLY on each process (unsharded jit runs on the
 # local default device): same v2 programs, same protocol keys -> identical
@@ -66,14 +66,19 @@ keys = rng.integers(0, 2, (B, code.n)).astype(np.uint8)
 bob = keys ^ (rng.random((B, code.n)) < 0.02).astype(np.uint8)
 wkey = prng.key_data(prng.derive(prng.root_key(3), "win", 0))
 pkey = prng.key_data(prng.derive(prng.root_key(7), "punct", 0))
-header_host = make_header(0, 0, wkey, pkey)
+from qtpu.window_programs import choose_affine
+a, ainv = choose_affine(iter([7]), code.n)
+header_host = make_header(0, 0, wkey, pkey, test_bits_pb=k_pb,
+                          affine=(a, ainv, 3))
 with jax.default_device(jax.local_devices()[0]):
     sa, sb = DeviceStream(1 << 16), DeviceStream(1 << 16)
     sa.push(keys.reshape(-1))
     sb.push(bob.reshape(-1))
-    _, syn, hashes, test = local.alice(sa.arena, jnp.asarray(header_host))
-    syn_host, hash_host, test_host = (np.asarray(syn), np.asarray(hashes),
-                                      np.asarray(test))
+    _, syn, hashes, test, shortv = local.alice(sa.arena,
+                                               jnp.asarray(header_host))
+    syn_host, hash_host, test_host, short_host = (
+        np.asarray(syn), np.asarray(hashes), np.asarray(test),
+        np.asarray(shortv))
     arena_host = np.asarray(sb.arena)
 
 sh = NamedSharding(mesh, P("blocks", None))
@@ -85,7 +90,7 @@ mag = np.float32(np.log(0.98 / 0.02))
 
 hat, rx, rxp, pin, stats, ledger = progs.bob(
     mk(arena_host, rep), mk(header_host, rep), mk(test_host, sh),
-    mk(syn_host, sh), mk(hash_host, sh), mk(mag, rep))
+    mk(short_host, sh), mk(syn_host, sh), mk(hash_host, sh), mk(mag, rep))
 # The ledger is replicated over the GLOBAL mesh; a cross-process fetch is
 # not allowed — any local shard holds the full (psum'd) value.
 gl = np.asarray(ledger.addressable_shards[0].data)

@@ -85,11 +85,16 @@ def test_short_bits_wire_roundtrip():
     rng = np.random.default_rng(0)
     syn = rng.integers(0, 2, (4, 512)).astype(np.uint8)
     hsh = rng.integers(0, 2, (4, 64)).astype(np.uint8)
+    sv = rng.integers(0, 2, (4, 128)).astype(np.uint8)  # static S_max > s
     s = Syndromes(window_id=3, rate_index=1, num_blocks=4, syndrome_bits=512,
-                  syndromes=syn, verify_hashes=hsh, short_bits=96)
+                  syndromes=syn, verify_hashes=hsh, short_bits=96,
+                  short_values=sv)
     s2 = unpack_message(pack_message(s))
     assert s2.short_bits == 96
     np.testing.assert_array_equal(s2.syndromes, syn)
+    # Only the s disclosed columns cross the wire.
+    assert s2.short_values.shape == (4, 96)
+    np.testing.assert_array_equal(s2.short_values, sv[:, :96])
 
 
 @pytest.mark.slow
@@ -114,10 +119,12 @@ def test_loopback_with_fine_shortening():
     assert any(m.extra_short_bits >= 0 for m in b.metrics)
     for m in b.metrics:
         if m.extra_short_bits:
-            # payload shrank accordingly
+            # v2.1 disclosure-based shortening: consumption stays B*P and
+            # the disclosed positions are charged as estimator leakage.
             step = b.ladder.steps[m.rate_index]
             per_block = m.payload_bits // m.blocks
-            assert per_block == step.payload_bits() - m.extra_short_bits
+            assert per_block == step.payload_bits()
+            assert m.leaked_qber >= m.extra_short_bits * m.blocks
 
 
 def test_post_decode_qber_prior_tightens():

@@ -60,7 +60,7 @@ def test_session_mesh_ledger_psum(mesh, code):
     bob = keys ^ (rng.random((B, code.n)) < 0.02).astype(np.uint8)
     pay = np.arange(code.n, dtype=np.int64)
     kwargs = dict(max_iters=40, alg="minsum", verify_hash_bits=64,
-                  l_max=128, batch=B, k_pb=k_pb)
+                  l_max=128, batch=B, k_pb=k_pb, s_max=32)
     empty = np.zeros(0, np.int64)
     p1 = make_window_programs(code, pay, empty, empty, **kwargs)
     p8 = make_window_programs(code, pay, empty, empty, mesh=mesh, **kwargs)
@@ -69,11 +69,14 @@ def test_session_mesh_ledger_psum(mesh, code):
     sb.push(bob.reshape(-1))
     wkey = prng.key_data(prng.derive(prng.root_key(3), "win", 0))
     pkey = prng.key_data(prng.derive(prng.root_key(7), "punct", 0))
-    header = jnp.asarray(make_header(0, 0, wkey, pkey))
-    _, syn, hashes, test = p1.alice(sa.arena, header)
+    from qtpu.window_programs import choose_affine
+    a, ainv = choose_affine(iter([7]), code.n)
+    header = jnp.asarray(make_header(0, 0, wkey, pkey, test_bits_pb=k_pb,
+                                     affine=(a, ainv, 3)))
+    _, syn, hashes, test, shortv = p1.alice(sa.arena, header)
     mag = jnp.float32(np.log(0.98 / 0.02))
-    args = (header, jnp.asarray(test), jnp.asarray(syn),
-            jnp.asarray(hashes), mag)
+    args = (header, jnp.asarray(test), jnp.asarray(shortv),
+            jnp.asarray(syn), jnp.asarray(hashes), mag)
     hat1, rx1, _, _, st1 = p1.bob(sb.arena, *args)
     hat8, rx8, _, _, st8, gled = p8.bob(sb.arena, *args)
     np.testing.assert_array_equal(np.asarray(hat1), np.asarray(hat8))

@@ -193,6 +193,16 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
     lb = Tap(qb, qa, to_alice)   # bob -> alice
     alice = AliceSession(cfg, 0x5E55, la)
     bob = BobSession(cfg, 0x5E55, lb)
+    # Bob's prior-driven protocol choices depend on resolve TIMING, which
+    # the replay changes; record them and force the replayed Bob to make
+    # the identical choices so the recorded messages stay valid.
+    choices = []
+    bob_choose = bob._choose
+    def record_choose():
+        c = bob_choose()
+        choices.append(c)
+        return c
+    bob._choose = record_choose
     alice.push_sifted(a_dev[: n_total * per_window])
     bob.push_sifted(b_dev[: n_total * per_window])
     from qtpu.pipeline import pump_sessions
@@ -210,6 +220,8 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
         sess = BobSession(cfg, 0x5E55, link)
         sess.push_sifted(b_dev[: n_total * per_window])
         inbound = to_bob
+        replay_choices = iter(list(choices))
+        sess._choose = lambda: next(replay_choices)
     else:
         sess = AliceSession(cfg, 0x5E55, link)
         sess.push_sifted(a_dev[: n_total * per_window])

@@ -47,21 +47,27 @@ def enable_compile_cache() -> None:
 enable_compile_cache()
 
 
-def device_bsc_stream(total_bits: int, qber: float, seed: int):
-    """(alice_bits, bob_bits) uint8 device arrays — BSC(qber) pair generated
-    on device (the bench's stand-in for the sift stage's device output)."""
+def device_bsc_stream(total_bits: int, qber: float, seed: int,
+                      chunk_bits: int = 1 << 23):
+    """(alice_chunks, bob_chunks): lists of FIXED-shape uint8 device chunks
+    forming a BSC(qber) pair — the bench's stand-in for the sift stage's
+    device output.  Fixed chunk shapes mean the generator compiles exactly
+    once regardless of run length (a novel total size used to trigger a
+    fresh multi-second XLA compile over the TPU tunnel per run length)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def gen(key):
-        ka, kb = jax.random.split(jax.random.wrap_key_data(key))
-        a = jax.random.bernoulli(ka, 0.5, (total_bits,)).astype(jnp.uint8)
-        flip = jax.random.bernoulli(kb, qber, (total_bits,)).astype(jnp.uint8)
+    def gen(key, i):
+        k = jax.random.fold_in(jax.random.wrap_key_data(key), i)
+        ka, kb = jax.random.split(k)
+        a = jax.random.bernoulli(ka, 0.5, (chunk_bits,)).astype(jnp.uint8)
+        flip = jax.random.bernoulli(kb, qber, (chunk_bits,)).astype(jnp.uint8)
         return a, a ^ flip
 
     key = np.frombuffer(np.uint64(seed).tobytes(), np.uint32)
-    return gen(key)
+    out = [gen(key, i) for i in range(-(-total_bits // chunk_bits))]
+    return [a for a, _ in out], [b for _, b in out]
 
 
 def measure_full_chain(windows: int = 24, qber: float = 0.03,
@@ -74,30 +80,27 @@ def measure_full_chain(windows: int = 24, qber: float = 0.03,
     cfg = config or production_config()
     per_window = cfg.n * cfg.blocks_per_window
     total_bits = (windows + warmup_windows + 2) * per_window
-    a_dev, b_dev = device_bsc_stream(total_bits, qber, seed)
+    a_chunks, b_chunks = device_bsc_stream(total_bits, qber, seed)
 
     la, lb = make_loopback_pair() if wire else make_direct_pair()
     alice = AliceSession(cfg, 0x5E55, la)
     bob = BobSession(cfg, 0x5E55, lb)
 
-    # Feed the stream window-sized chunks as the session consumes it (the
+    # Feed the stream fixed-size chunks as the session consumes it (the
     # sift stage's behavior) — the arena capacity stays at its configured
     # steady-state size, so program input shapes never change between runs
     # of different lengths (arena growth would recompile every program).
-    feed_state = {"off": 0}
+    feed_state = {"i": 0}
 
     def feed() -> None:
-        off = feed_state["off"]
+        i = feed_state["i"]
         lim = alice.max_need * (cfg.max_inflight_windows + 2)
-        while off < total_bits and alice.stream.remaining < lim:
-            alice.push_sifted(jax.lax.dynamic_slice(a_dev, (off,),
-                                                    (per_window,)))
-            bob.push_sifted(jax.lax.dynamic_slice(b_dev, (off,),
-                                                  (per_window,)))
-            off += per_window
-        feed_state["off"] = off
+        while i < len(a_chunks) and alice.stream.remaining < lim:
+            alice.push_sifted(a_chunks[i])
+            bob.push_sifted(b_chunks[i])
+            i += 1
+        feed_state["i"] = i
 
-    import jax
     feed()
 
     def pump_until(n_windows: int) -> None:
@@ -173,8 +176,8 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
     cfg = config or production_config()
     per_window = cfg.n * cfg.blocks_per_window
     n_total = windows + warmup_windows
-    total_bits = (n_total + 2) * per_window
-    a_dev, b_dev = device_bsc_stream(total_bits, qber, seed)
+    total_bits = n_total * per_window
+    a_chunks, b_chunks = device_bsc_stream(total_bits, qber, seed)
 
     # Recording pass (untimed).
     qa, qb = _c.deque(), _c.deque()
@@ -203,8 +206,9 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
         choices.append(c)
         return c
     bob._choose = record_choose
-    alice.push_sifted(a_dev[: n_total * per_window])
-    bob.push_sifted(b_dev[: n_total * per_window])
+    for a_c, b_c in zip(a_chunks, b_chunks):
+        alice.push_sifted(a_c)
+        bob.push_sifted(b_c)
     from qtpu.pipeline import pump_sessions
     pump_sessions(alice, bob, la, lb, max_rounds=10**6)
     assert bob.window_id >= n_total, "recording session incomplete"
@@ -218,13 +222,15 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
     link = DirectLink(sink, _c.deque())
     if side == "bob":
         sess = BobSession(cfg, 0x5E55, link)
-        sess.push_sifted(b_dev[: n_total * per_window])
+        for b_c in b_chunks:
+            sess.push_sifted(b_c)
         inbound = to_bob
         replay_choices = iter(list(choices))
         sess._choose = lambda: next(replay_choices)
     else:
         sess = AliceSession(cfg, 0x5E55, link)
-        sess.push_sifted(a_dev[: n_total * per_window])
+        for a_c in a_chunks:
+            sess.push_sifted(a_c)
         inbound = to_alice
 
     def step(i: int) -> int:

@@ -74,14 +74,24 @@ def _pow2_words(n_words: int) -> int:
 
 
 class DeviceStream:
-    """Append-only bit stream on device with a host consumption cursor."""
+    """Append-only bit stream on device with a host consumption cursor.
 
-    def __init__(self, capacity_bits: int = 1 << 22):
+    ``strict_capacity=True`` turns arena growth into a hard error: the
+    arena is a traced input of every window program, so a capacity change
+    RECOMPILES them all (~25 s/rung over the tunneled TPU) — a production
+    session sized from config should fail loudly rather than mysteriously
+    stall on a burst of sifted input.  Growth is always counted in
+    ``grow_events`` and warned once either way."""
+
+    def __init__(self, capacity_bits: int = 1 << 22,
+                 strict_capacity: bool = False):
         cap = 1 << max(15, int(capacity_bits - 1).bit_length())
         self.arena = jnp.zeros((cap,), jnp.uint8)
         self.start = 0   # first unconsumed bit (absolute arena offset)
         self.end = 0     # write position (absolute arena offset)
         self.total_pushed = 0
+        self.strict_capacity = strict_capacity
+        self.grow_events = 0
 
     # -- capacity management ---------------------------------------------
 
@@ -94,17 +104,38 @@ class DeviceStream:
         """Unconsumed bits available."""
         return self.end - self.start
 
+    def _grow_arena(self) -> None:
+        if self.strict_capacity:
+            raise RuntimeError(
+                f"DeviceStream arena would grow past its configured "
+                f"capacity ({self.capacity} bits, start={self.start}, "
+                f"end={self.end}) with strict_capacity=True — size "
+                f"stream_capacity_bits for the peak backlog instead "
+                f"(growth recompiles every window program)")
+        self.grow_events += 1
+        if self.grow_events == 1:
+            import warnings
+            warnings.warn(
+                "DeviceStream arena grew beyond its configured capacity; "
+                "every window program will recompile for the new shape. "
+                "Size stream_capacity_bits for the peak backlog.",
+                RuntimeWarning, stacklevel=3)
+        self.arena = _grow(self.arena, self.capacity * 4)
+
+    def _compact_arena(self) -> None:
+        if self.start > 0:
+            self.arena = _compact(self.arena, self.start)
+            self.end -= self.start
+            self.start = 0
+
     def _make_room(self, tail_bits: int) -> None:
         """Ensure [end, end + tail_bits) fits in the arena: compact first
         (drop consumed prefix), then grow geometrically if still short."""
         if self.end + tail_bits <= self.capacity:
             return
-        if self.start > 0:
-            self.arena = _compact(self.arena, self.start)
-            self.end -= self.start
-            self.start = 0
+        self._compact_arena()
         while self.end + tail_bits > self.capacity:
-            self.arena = _grow(self.arena, self.capacity * 4)
+            self._grow_arena()
 
     def ensure_contiguous(self, read_bits: int) -> None:
         """Guarantee that a static-size read of ``read_bits`` starting at the
@@ -112,9 +143,9 @@ class DeviceStream:
         consumed region — the tail is unused garbage, but must be in-range
         so ``dynamic_slice`` can't clamp the offset and return wrong data)."""
         if self.start + read_bits > self.capacity:
-            self._make_room(0)   # compacting moves start to 0
+            self._compact_arena()   # moves the cursor to offset 0
         while self.start + read_bits > self.capacity:
-            self.arena = _grow(self.arena, self.capacity * 4)
+            self._grow_arena()
 
     # -- appends ----------------------------------------------------------
 

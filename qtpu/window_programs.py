@@ -107,10 +107,17 @@ def make_header(cursor: int, short_bits: int, wkey_data: np.ndarray,
 def _toeplitz_hash(t_bits, x_bits, m):
     """In-jit batched FFT Toeplitz hash ((B, n) x (B, m+n-1) -> (B, m)).
 
-    Exactness at production shapes (conv length 2^18, f32) is pinned by
-    tests/test_pa.py golden rows and the integer-margin guard."""
+    FFT length: the needed outputs are linear-conv indices [n-1, n+m-2].
+    A cyclic conv of length L aliases linear index k with k+L; the linear
+    conv's support ends at m+2n-3, so the window stays alias-free whenever
+    n-1+L > m+2n-3, i.e. L >= m+n-1 — HALF the full-linear-conv length
+    (the wrapped tail lands only in [0, n-2], which we never read).
+
+    Exactness at production shapes (L = 2^17, f32) is pinned by
+    tests/test_pa.py production-shape golden rows and the integer-margin
+    guard (max |conv - round(conv)| < 0.25)."""
     n = x_bits.shape[-1]
-    need = (m + n - 1) + n - 1
+    need = m + n - 1
     L = 1 << (need - 1).bit_length()
     tf = jnp.fft.rfft(t_bits.astype(jnp.float32), L, axis=-1)
     xf = jnp.fft.rfft(x_bits.astype(jnp.float32), L, axis=-1)
@@ -511,13 +518,18 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         ok_r = (jnp.all(hashes == exp_hashes[rows], axis=1) & res.converged
                 & rows_valid.astype(bool))
         errs_r = jnp.sum((hat_r ^ rxo_rows).astype(jnp.int32), axis=1)
-        # Merge rows back (pad rows carry valid=False and change nothing
-        # observable: their ok stays False in stats via the where below).
+        # Merge rows back.  Pad slots carry the out-of-range row index B and
+        # the scatters run with mode="drop", so a pad slot can never write —
+        # in particular it can never collide with a REAL row's scatter (a
+        # duplicate index with conflicting values is implementation-defined
+        # and could merge stats from the retry with a stale hat payload).
         valid = rows_valid.astype(bool)[:, None]
-        hat_m = hat.at[rows].set(jnp.where(valid, hat_r, hat[rows]))
+        hat_m = hat.at[rows].set(jnp.where(valid, hat_r, hat[rows]),
+                                 mode="drop")
         rx_pin_m = rx_pin.at[rows].set(jnp.where(valid, rx2_rows,
-                                                 rx_pin[rows]))
-        pin_m = pinb.at[rows].set(jnp.where(valid, pin2_rows, pinb[rows]))
+                                                 rx_pin[rows]), mode="drop")
+        pin_m = pinb.at[rows].set(jnp.where(valid, pin2_rows, pinb[rows]),
+                                  mode="drop")
         okv = rows_valid.astype(bool)
         st_rows = stats[rows]
         st_new = jnp.stack([
@@ -526,7 +538,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
                         .astype(jnp.int32)),
             jnp.where(okv, errs_r, st_rows[:, 2]),
             st_rows[:, 3]], axis=1)
-        stats_m = stats.at[rows].set(st_new)
+        stats_m = stats.at[rows].set(st_new, mode="drop")
         return hat_m, rx_pin_m, pin_m, stats_m
 
     if l_max > 0:

@@ -119,10 +119,7 @@ def test_bob_initiated_abort_when_alice_consumed_echoes():
     assert type(dropped).__name__ == "Syndromes"
     bob_before = bob.stream.remaining
     # Bob times out and aborts with his consumed=0.
-    from qtpu.messages import Abort
-    bob._inflight.pop(0)
-    bob.window_id = max(bob.window_id, 1)
-    bob.link.send(Abort(window_id=0, reason="timeout", consumed=0))
+    bob.abort_window(0, "timeout")
     alice.on_message(la.recv())        # Alice mirrors; echoes her count
     echo = lb.recv()
     assert type(echo).__name__ == "Abort" and echo.consumed > 0
@@ -169,6 +166,141 @@ def test_stale_ack_ignored():
     assert after_first != before       # the real ack did its work
     alice.on_message(ack)              # replay
     assert alice.ledger.as_dict() == after_first, "replayed ack must be a no-op"
+
+
+def test_abort_after_peer_finalized_resurrects():
+    """THE round-3 desync repro: Bob decodes and finalizes window 0, his
+    VerifyAck is lost, Alice times out and aborts.  Bob must NOT consume a
+    second copy of the window's stream (he already consumed it in the
+    normal path) — he answers with the cached ack + a ``completed`` echo,
+    and Alice resurrects the window from her limbo stash.  Both parties
+    must end with EQUAL final keys and ledgers."""
+    alice, bob, la, lb = _sessions(_cfg(), 20)
+    alice.start_window()
+    bob.on_message(lb.recv())          # open -> RateSelect
+    alice.on_message(la.recv())        # rate -> Syndromes (Alice consumes)
+    bob.on_message(lb.recv())          # Bob consumes + decodes
+    bob.flush()                        # Bob FINALIZES window 0
+    lost = la.recv()                   # ...but the ack is lost
+    assert type(lost).__name__ == "VerifyAck"
+    assert bob.window_id == 1
+    bob_cursor = bob.stream.remaining
+    alice.abort_window(0, "timeout")   # Alice times out
+    bob.on_message(lb.recv())          # Bob: completed -> NO consumption
+    assert bob.stream.remaining == bob_cursor, \
+        "abort of a finalized window must not consume the stream again"
+    # Bob re-sent the cached ack (and possibly a completed echo).
+    while (m := lb.recv()) is not None:
+        bob.on_message(m)
+    while (m := la.recv()) is not None:
+        alice.on_message(m)
+    assert 0 not in alice._limbo, "ack must resurrect the aborted window"
+    pump_sessions(alice, bob, la, lb)
+    assert bob.window_id >= 3
+    _assert_synced(alice, bob)
+    assert any(w == 0 for w, _ in alice.final_key_index), \
+        "window 0's key must survive the race"
+
+
+def test_abort_finalized_window_during_later_windows():
+    """Same race, but the duplicate Abort arrives windows later (after more
+    traffic): the completed record must still answer it idempotently."""
+    alice, bob, la, lb = _sessions(_cfg(), 21)
+    pump_sessions(alice, bob, la, lb, max_rounds=60)
+    done = bob.window_id
+    assert done >= 2
+    from qtpu.messages import Abort
+    bob_cursor = bob.stream.remaining
+    led_before = bob.ledger.as_dict()
+    # Replay an abort for long-finalized window 0 (at-least-once noise).
+    c0, _d0 = bob._completed[0]
+    bob.on_message(Abort(window_id=0, reason="timeout", consumed=c0))
+    assert bob.stream.remaining == bob_cursor
+    assert bob.ledger.as_dict() == led_before
+    # Bob answers with the cached ack and then the completed echo.
+    seen = []
+    while (m := la.recv()) is not None:
+        seen.append(m)
+        alice.on_message(m)
+    assert any(getattr(m, "reason", None) == "completed" for m in seen)
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob)
+
+
+def test_abort_during_retry_round():
+    """Abort arriving while a window sits mid-retry (Bob acked round 0 with
+    failures, RetryDisclose lost): both parties mirror the full consumed
+    length and continue in sync."""
+    cfg = _cfg(max_retries=1)
+    alice, bob, la, lb = _sessions(cfg, 22, qber=0.08, total=30_000)
+    alice.start_window()
+    bob.on_message(lb.recv())
+    alice.on_message(la.recv())
+    bob.on_message(lb.recv())
+    bob.flush()
+    ack = la.recv()
+    if ack is not None and getattr(ack, "ok_mask", None) is not None \
+            and not ack.ok_mask.astype(bool).all():
+        alice.on_message(ack)          # Alice sends RetryDisclose
+        dropped = lb.recv()            # ...which is lost
+        assert type(dropped).__name__ == "RetryDisclose"
+        alice.abort_window(0, "timeout")
+        bob.on_message(lb.recv())      # Bob mirrors (window still inflight)
+        while (m := la.recv()) is not None:
+            alice.on_message(m)
+    else:
+        if ack is not None:
+            alice.on_message(ack)
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob, expect_key=False)
+
+
+def test_stale_abort_beyond_horizon_dropped():
+    """A duplicate Abort for a window far below the history floor must be
+    dropped outright — never consume or re-create a memo (round-3 advisor
+    medium finding: pruned memos made duplicates double-consume)."""
+    alice, bob, la, lb = _sessions(_cfg(), 23)
+    pump_sessions(alice, bob, la, lb, max_rounds=60)
+    from qtpu.messages import Abort
+    bob.window_id += bob.HISTORY_HORIZON + 8   # simulate a long session
+    bob._prune_history()
+    bob_cursor = bob.stream.remaining
+    led = bob.ledger.as_dict()
+    bob.on_message(Abort(window_id=0, reason="timeout", consumed=4096))
+    assert bob.stream.remaining == bob_cursor
+    assert bob.ledger.as_dict() == led
+    assert lb.recv() is None or True   # no harmful echo required
+    assert 0 not in bob._aborted
+
+
+def test_unknown_window_abort_never_consumes():
+    """An Abort for a window this party has NO record of must never move
+    the stream cursor (the v2 consumption order guarantees the peer can
+    only have consumed if we hold a record)."""
+    alice, bob, la, lb = _sessions(_cfg(), 24)
+    from qtpu.messages import Abort
+    cursor = bob.stream.remaining
+    bob.on_message(Abort(window_id=5, reason="timeout", consumed=8192))
+    assert bob.stream.remaining == cursor
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob)
+
+
+def test_allfail_windows_kill_session():
+    """A run of 100%-failed windows (the desync signature) must trip the
+    dead-session alarm instead of burning payload forever."""
+    cfg = _cfg(max_allfail_windows=3, max_retries=0, qber_initial=0.02)
+    rng = np.random.default_rng(25)
+    a_bits = rng.integers(0, 2, 40_000).astype(np.uint8)
+    b_bits = rng.integers(0, 2, 40_000).astype(np.uint8)  # UNRELATED stream
+    la, lb = make_loopback_pair()
+    alice = AliceSession(cfg, 25, la)
+    bob = BobSession(cfg, 25, lb)
+    alice.push_sifted(a_bits)
+    bob.push_sifted(b_bits)
+    pump_sessions(alice, bob, la, lb, max_rounds=400)
+    assert bob.dead, "all-failed windows must kill the session"
+    assert bob.ledger.final_bits == 0
 
 
 def test_uncorrectable_qber_aborts_session():

@@ -70,6 +70,9 @@ def device_bsc_stream(total_bits: int, qber: float, seed: int,
     return [a for a, _ in out], [b for _, b in out]
 
 
+AUTH_BITS_PER_MESSAGE = 61   # Wegman-Carter one-time pad (qtpu.auth, P61)
+
+
 def measure_full_chain(windows: int = 24, qber: float = 0.03,
                        warmup_windows: int = 3, seed: int = 7,
                        config=None, wire: bool = False) -> dict:
@@ -82,7 +85,12 @@ def measure_full_chain(windows: int = 24, qber: float = 0.03,
     total_bits = (windows + warmup_windows + 2) * per_window
     a_chunks, b_chunks = device_bsc_stream(total_bits, qber, seed)
 
-    la, lb = make_loopback_pair() if wire else make_direct_pair()
+    # Channel authentication is ON in the judged path: every message charges
+    # the Wegman-Carter pad consumption (the in-process link cannot MAC, but
+    # the KEY CONSUMPTION is what affects net key rate — qtpu.auth performs
+    # the real MAC on serializing links, tested in tests/test_auth.py).
+    la, lb = (make_loopback_pair() if wire
+              else make_direct_pair(auth_overhead_bits=AUTH_BITS_PER_MESSAGE))
     alice = AliceSession(cfg, 0x5E55, la)
     bob = BobSession(cfg, 0x5E55, lb)
 
@@ -142,12 +150,16 @@ def measure_full_chain(windows: int = 24, qber: float = 0.03,
     assert np.array_equal(alice.final_key_bits(), bob.final_key_bits())
     assert alice.ledger.as_dict() == bob.ledger.as_dict()
     mets = bob.metrics[warmup_windows:]
+    auth = int(bob.ledger.auth_bits)
+    net = final - auth * measured // max(1, bob.window_id)  # measured share
     return {
         "windows": measured,
         "elapsed_s": round(dt, 4),
         "sifted_bits_per_s": round(consumed / dt, 1),
         "secret_bits_per_s": round(final / dt, 1),
         "secret_fraction": round(final / max(1, consumed), 4),
+        "auth_bits_total": auth,
+        "net_secret_bits_per_s": round(net / dt, 1),
         "window_ms": round(1e3 * dt / max(1, measured), 3),
         "iters_mean": round(float(np.mean([m.iters_mean for m in mets])), 2),
         "fer": round(1.0 - sum(m.blocks_ok for m in mets)

@@ -46,16 +46,28 @@ class ChainConfig:
     pfind_bins: int = 1 << 18
     window_s: float = 0.05              # sift window length (must fit int32 span)
     servo_gain: float = 0.5
+    # Batched sifting: dispatch this many frames per device call with the
+    # drift servo carried ON DEVICE between frames (sift.make_frame_matcher)
+    # — one host fetch per batch instead of one per frame.  1 = per-frame
+    # dispatch (the low-latency mode).
+    sift_batch_frames: int = 1
 
 
 class AliceChain:
-    """Source side: sends timing+basis, splices her key at Bob's index."""
+    """Source side: sends timing+basis, splices her key at Bob's index.
+
+    Frame ids are epoch-derived and can legitimately REPEAT (a simulation
+    window spanning a frame boundary yields two partial chunks of the same
+    frame), so per-frame state is FIFO-queued per id: the link is ordered
+    and Bob answers chunks in processing order, so first-in pairs with
+    first-answered."""
 
     def __init__(self, config: ChainConfig, session_seed: int, link):
+        import collections
         self.config = config
         self.link = link
         self.ec = AliceSession(config.pipeline, session_seed, link)
-        self._window_bits: dict[int, np.ndarray] = {}
+        self._window_bits: dict[int, "collections.deque"] = {}
         self._sift_window = 0
 
     def push_stream(self, times_abs: np.ndarray,
@@ -76,9 +88,11 @@ class AliceChain:
 
     def _push_window(self, w: int, times_i32: np.ndarray,
                      detectors: np.ndarray) -> None:
+        import collections
         basis = (detectors >> 1) & 1
         bits = detectors & 1
-        self._window_bits[w] = bits.astype(np.uint8)
+        self._window_bits.setdefault(
+            w, collections.deque()).append(bits.astype(np.uint8))
         self.link.send(TimingBasis(window_id=w, times=times_i32,
                                    basis=basis.astype(np.uint8)))
 
@@ -91,7 +105,10 @@ class AliceChain:
 
     def _dispatch(self, msg: Message) -> None:
         if isinstance(msg, SiftIndex):
-            bits = self._window_bits.pop(msg.window_id)
+            q = self._window_bits[msg.window_id]
+            bits = q.popleft()
+            if not q:
+                del self._window_bits[msg.window_id]
             sifted = np.asarray(sift.splice(jnp.asarray(bits),
                                             jnp.asarray(msg.indices)))
             self.ec.push_sifted(sifted)
@@ -121,6 +138,11 @@ class BobChain:
         # SURVEY.md §3 #9): coincidence/accidental counts, basis-match and
         # sift ratios, servo residual.
         self.sift_stats: list[dict] = []
+        # Batched sifting state: frames ready for the next batched dispatch
+        # [(TimingBasis, times_b, det_b)], and the jitted matcher cache
+        # keyed by padded (F, Na, Nb) shape bucket.
+        self._ready_frames: list[tuple] = []
+        self._matchers: dict[tuple, object] = {}
 
     def push_stream(self, times_abs: np.ndarray,
                     detectors: np.ndarray) -> None:
@@ -136,9 +158,9 @@ class BobChain:
         # stream has moved past): reply with an empty sift index so her raw
         # key there is dropped symmetrically.
         for w in [w for w in self._pending_timing if w < top]:
-            self._pending_timing.pop(w)
-            self.link.send(SiftIndex(window_id=w,
-                                     indices=np.zeros(0, np.int32)))
+            for _ in self._pending_timing.pop(w):
+                self.link.send(SiftIndex(window_id=w,
+                                         indices=np.zeros(0, np.int32)))
         # And frames we detected but the peer never announces: bounded GC.
         for w in [w for w in self._events if w < top - 8]:
             self._events.pop(w)
@@ -150,12 +172,18 @@ class BobChain:
 
     def _push_window(self, w: int, times_i32: np.ndarray,
                      detectors: np.ndarray) -> None:
-        self._events[w] = (
-            np.asarray(times_i32, np.int32), np.asarray(detectors, np.uint8))
+        import collections
+        self._events.setdefault(w, collections.deque()).append(
+            (np.asarray(times_i32, np.int32),
+             np.asarray(detectors, np.uint8)))
         # The peer's timing info may have raced ahead of local acquisition
         # (two-process mode); process it now that our events exist.
-        if w in self._pending_timing:
-            self._on_timing(self._pending_timing.pop(w))
+        pend = self._pending_timing.get(w)
+        if pend:
+            msg = pend.popleft()
+            if not pend:
+                del self._pending_timing[w]
+            self._on_timing(msg)
 
     def pump(self) -> bool:
         msg = self.link.recv()
@@ -173,14 +201,37 @@ class BobChain:
             self.ec.on_message(msg)
 
     def idle(self) -> bool:
+        self.flush_sift()
         self.ec.flush()
         return not self._pending_timing and not self.ec._inflight
 
     def _on_timing(self, msg: TimingBasis) -> None:
-        if msg.window_id not in self._events:
-            self._pending_timing[msg.window_id] = msg
+        import collections
+        q = self._events.get(msg.window_id)
+        if not q:
+            self._pending_timing.setdefault(
+                msg.window_id, collections.deque()).append(msg)
             return
-        times_b, det_b = self._events.pop(msg.window_id)
+        times_b, det_b = q.popleft()
+        if not q:
+            del self._events[msg.window_id]
+        if self.offset is None or self.config.sift_batch_frames <= 1:
+            # Cold start (pfind needs a frame NOW) / low-latency mode.
+            self._sift_one(msg, times_b, det_b)
+            return
+        self._ready_frames.append((msg, times_b, det_b))
+        if len(self._ready_frames) >= self.config.sift_batch_frames:
+            self._sift_batch(self._ready_frames)
+            self._ready_frames = []
+
+    def flush_sift(self) -> None:
+        """Sift any partial batch now (end of stream / drain)."""
+        frames, self._ready_frames = self._ready_frames, []
+        for msg, times_b, det_b in frames:
+            self._sift_one(msg, times_b, det_b)
+
+    def _sift_one(self, msg: TimingBasis, times_b: np.ndarray,
+                  det_b: np.ndarray) -> None:
         basis_b = (det_b >> 1) & 1
         bits_b = det_b & 1
         ta = jnp.asarray(msg.times)
@@ -203,22 +254,83 @@ class BobChain:
         bob_bits = np.asarray(r.bob_bits)[idx]
         self.ec.push_sifted(bob_bits.astype(np.uint8))
         self.link.send(SiftIndex(window_id=msg.window_id, indices=idx))
+        self._record_stats(msg, times_b, int(matched.sum()), int(idx.size),
+                           residual)
+
+    @staticmethod
+    def _pow2(n: int, floor: int = 256) -> int:
+        c = floor
+        while c < n:
+            c <<= 1
+        return c
+
+    def _sift_batch(self, frames: list[tuple]) -> None:
+        """Batched sifting: F frames in ONE device dispatch (servo carried
+        on device between frames), one host fetch for the whole batch."""
+        F = len(frames)
+        na_cap = self._pow2(max(len(m.times) for m, _, _ in frames))
+        nb_cap = self._pow2(max(len(t) for _, t, _ in frames))
+        ta = np.full((F, na_cap), sift.DEVICE_PAD, np.int32)
+        ba = np.zeros((F, na_cap), np.uint8)
+        tb = np.full((F, nb_cap), sift.DEVICE_PAD, np.int32)
+        bb = np.zeros((F, nb_cap), np.uint8)
+        xb = np.zeros((F, nb_cap), np.uint8)
+        for i, (msg, times_b, det_b) in enumerate(frames):
+            na, nb = len(msg.times), len(times_b)
+            ta[i, :na] = msg.times
+            ba[i, :na] = msg.basis
+            tb[i, :nb] = times_b
+            bb[i, :nb] = (det_b >> 1) & 1
+            xb[i, :nb] = det_b & 1
+        key = (F, na_cap, nb_cap)
+        if key not in self._matchers:
+            self._matchers[key] = sift.make_frame_matcher(
+                F, self.config.coincidence_window, self.config.servo_gain)
+        r = self._matchers[key](jnp.asarray(ta), jnp.asarray(ba),
+                                jnp.asarray(tb), jnp.asarray(bb),
+                                jnp.asarray(xb), jnp.int32(self.offset))
+        # ONE device→host fetch for the batch.
+        masks = np.asarray(r.sift_mask)
+        bits = np.asarray(r.bob_bits)
+        mcounts = np.asarray(r.matched_counts)
+        residuals = np.asarray(r.residuals)
+        # Per-frame servo trajectory for the stats (same f32-multiply +
+        # truncate arithmetic as the device scan carry).
+        offset = np.int32(self.offset)
+        self.offset = int(r.final_offset)
+        all_bits = []
+        for i, (msg, times_b, _d) in enumerate(frames):
+            na = len(msg.times)
+            idx = np.flatnonzero(masks[i, :na]).astype(np.int32)
+            all_bits.append(bits[i, idx])
+            self.link.send(SiftIndex(window_id=msg.window_id, indices=idx))
+            offset = np.int32(offset + np.int32(
+                np.float32(self.config.servo_gain)
+                * np.float32(residuals[i])))
+            self._record_stats(msg, times_b, int(mcounts[i]), int(idx.size),
+                               float(residuals[i]), offset=int(offset))
+        if all_bits:
+            self.ec.push_sifted(
+                np.concatenate(all_bits).astype(np.uint8))
+
+    def _record_stats(self, msg: TimingBasis, times_b: np.ndarray,
+                      coincidences: int, sifted: int,
+                      residual: float, offset: Optional[int] = None) -> None:
         # getrate diagnostics: accidentals estimated from the uniform-rate
         # expectation (Na*Nb*2w/span — the classic accidental-coincidence
         # formula on the frame).
         na, nb = int(len(msg.times)), int(len(times_b))
-        span = max(1, int(tb.max()) if nb else 1)
+        span = max(1, int(times_b.max()) if nb else 1)
         acc = na * nb * 2.0 * self.config.coincidence_window / span
         self.sift_stats.append({
             "window_id": int(msg.window_id),
             "alice_events": na, "bob_events": nb,
-            "coincidences": int(matched.sum()),
+            "coincidences": coincidences,
             "accidentals_est": round(acc, 2),
-            "sifted_bits": int(idx.size),
-            "basis_match_ratio": round(float(sifted_mask.sum())
-                                       / max(1, int(matched.sum())), 4),
+            "sifted_bits": sifted,
+            "basis_match_ratio": round(sifted / max(1, coincidences), 4),
             "servo_residual_units": round(residual, 3),
-            "offset_units": int(self.offset),
+            "offset_units": int(self.offset if offset is None else offset),
         })
 
 
@@ -254,7 +366,8 @@ def run_chain_loopback(config: ChainConfig, num_windows: int = 30,
             progressed = alice.pump() or progressed
             if not progressed:
                 break
-    # Final drain.
+    # Final drain (sift any partial frame batch first).
+    bob.flush_sift()
     for _ in range(10_000):
         progressed = bob.pump()
         progressed = alice.pump() or progressed

@@ -126,6 +126,20 @@ def _toeplitz_hash(t_bits, x_bits, m):
     return (jnp.round(seg).astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
+def toeplitz_margin(t_bits, x_bits, m) -> float:
+    """max |conv − round(conv)| of the f32 FFT path over the extracted
+    segment — the integer-exactness margin the 2-universal-hash security
+    property rides on.  Must stay well below 0.5 (tests pin < 0.25 at the
+    production shape)."""
+    n = x_bits.shape[-1]
+    L = 1 << (m + n - 2).bit_length()
+    tf = jnp.fft.rfft(jnp.asarray(t_bits).astype(jnp.float32), L, axis=-1)
+    xf = jnp.fft.rfft(jnp.asarray(x_bits).astype(jnp.float32), L, axis=-1)
+    conv = jnp.fft.irfft(tf * xf, L, axis=-1)
+    seg = jax.lax.dynamic_slice_in_dim(conv, n - 1, m, axis=-1)
+    return float(jnp.max(jnp.abs(seg - jnp.round(seg))))
+
+
 class WindowPrograms(NamedTuple):
     alice: callable
     bob: callable

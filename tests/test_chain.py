@@ -108,6 +108,41 @@ def test_epoch_true_framing_and_resume():
     assert alice2.ec.ledger.as_dict() == bob2.ec.ledger.as_dict()
 
 
+def test_batched_sift_matches_per_frame():
+    """The batched multi-frame matcher (servo on device, one fetch per
+    batch) must produce the SAME sifted stream, offsets, and final keys as
+    the per-frame path — it is a dispatch-granularity change, not a
+    protocol change."""
+    from qtpu.chain import ChainConfig, run_chain_loopback
+    from qtpu.channel import EntangledPairSource
+    from qtpu.pipeline import PipelineConfig
+
+    pl = PipelineConfig(n=1024, blocks_per_window=2, qber_test_bits=256)
+    src_args = dict(pair_rate_hz=150_000, window_s=0.05,
+                    offset_ns=1_234.0, error_rate=0.02)
+    runs = {}
+    for label, fbatch in (("single", 1), ("batched", 3)):
+        cfg = ChainConfig(pipeline=pl, window_s=0.05,
+                          sift_batch_frames=fbatch)
+        a, b = run_chain_loopback(
+            cfg, num_windows=6,
+            source=EntangledPairSource(**src_args), seed=7)
+        runs[label] = (a, b)
+        np.testing.assert_array_equal(a.ec.final_key_bits(),
+                                      b.ec.final_key_bits())
+    sa, ba = runs["single"]
+    sb, bb = runs["batched"]
+    # Same sifted stream and servo trajectory...
+    assert ba.ec.ledger.sifted_bits == bb.ec.ledger.sifted_bits > 0
+    assert [s["sifted_bits"] for s in ba.sift_stats] == \
+           [s["sifted_bits"] for s in bb.sift_stats]
+    assert [s["offset_units"] for s in ba.sift_stats] == \
+           [s["offset_units"] for s in bb.sift_stats]
+    # ...and identical final keys across the two dispatch modes.
+    np.testing.assert_array_equal(ba.ec.final_key_bits(),
+                                  bb.ec.final_key_bits())
+
+
 def test_split_epochs_roundtrip():
     import numpy as np
     from qtpu.framing import FRAME_UNITS, split_epochs, pack_deltas, unpack_deltas

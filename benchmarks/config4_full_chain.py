@@ -128,7 +128,9 @@ def measure_full_chain(windows: int = 24, qber: float = 0.03,
             if m is not None:
                 alice.on_message(m)
                 progressed = True
-            if not progressed and bob.flush():
+            if bob.flush(block=False):
+                progressed = True
+            if not progressed and bob.flush(limit=1):
                 progressed = True
             if not progressed:
                 return
@@ -218,11 +220,42 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
         choices.append(c)
         return c
     bob._choose = record_choose
-    for a_c, b_c in zip(a_chunks, b_chunks):
-        alice.push_sifted(a_c)
-        bob.push_sifted(b_c)
-    from qtpu.pipeline import pump_sessions
-    pump_sessions(alice, bob, la, lb, max_rounds=10**6)
+
+    # Feed window-sized chunks as consumed (NOT all up front: the arena
+    # would grow past its configured capacity and re-compile every window
+    # program — the exact hazard the growth guard warns about).
+    rec_state = {"i": 0}
+
+    def rec_feed() -> None:
+        i = rec_state["i"]
+        lim = alice.max_need * (cfg.max_inflight_windows + 2)
+        while i < len(a_chunks) and alice.stream.remaining < lim:
+            alice.push_sifted(a_chunks[i])
+            bob.push_sifted(b_chunks[i])
+            i += 1
+        rec_state["i"] = i
+
+    rec_feed()
+    for _ in range(10**6):
+        if bob.window_id >= n_total:
+            break
+        rec_feed()
+        progressed = False
+        if alice.can_start_window():
+            alice.start_window()
+            progressed = True
+        m = lb.recv()
+        if m is not None:
+            bob.on_message(m)
+            progressed = True
+        m = la.recv()
+        if m is not None:
+            alice.on_message(m)
+            progressed = True
+        if bob.flush(block=False):
+            progressed = True
+        if not progressed and not bob.flush(limit=1):
+            break
     assert bob.window_id >= n_total, "recording session incomplete"
     jax.block_until_ready(alice.stream.arena)
 
@@ -232,39 +265,55 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
     # recording); Alice additionally opens her own windows.
     sink = _c.deque()
     link = DirectLink(sink, _c.deque())
+    chunks = b_chunks if side == "bob" else a_chunks
     if side == "bob":
         sess = BobSession(cfg, 0x5E55, link)
-        for b_c in b_chunks:
-            sess.push_sifted(b_c)
         inbound = to_bob
         replay_choices = iter(list(choices))
         sess._choose = lambda: next(replay_choices)
     else:
         sess = AliceSession(cfg, 0x5E55, link)
-        for a_c in a_chunks:
-            sess.push_sifted(a_c)
         inbound = to_alice
 
+    # Incremental feed (same reason as the recording pass).
+    rep_state = {"i": 0}
+
+    def rep_feed() -> None:
+        i = rep_state["i"]
+        lim = sess.max_need * (cfg.max_inflight_windows + 2)
+        while i < len(chunks) and sess.stream.remaining < lim:
+            sess.push_sifted(chunks[i])
+            i += 1
+        rep_state["i"] = i
+
+    rep_feed()
+
     def step(i: int) -> int:
+        rep_feed()
         if side == "alice" and sess.can_start_window():
             sess.start_window()
         sess.on_message(inbound[i])
-        if getattr(sess, "_pending", None) is not None \
-                and len(sess._pending) >= cfg.max_inflight_windows:
-            sess.flush()   # mirror the live session's pipelining depth
+        if getattr(sess, "_pending", None) is not None:
+            sess.flush(block=False)
+            if len(sess._pending) >= cfg.max_inflight_windows:
+                sess.flush(limit=1)   # backpressure: resolve the oldest only
         sink.clear()
         return i + 1
+
+    def flush_all():
+        if hasattr(sess, "flush"):
+            sess.flush()
 
     i = 0
     while i < len(inbound) and sess.window_id < warmup_windows:
         i = step(i)
-    sess.flush()
+    flush_all()
     sink.clear()
     consumed0 = sess.ledger.sifted_bits - sess.stream.remaining
     t0 = time.perf_counter()
     while i < len(inbound) and sess.window_id < n_total:
         i = step(i)
-    sess.flush()
+    flush_all()
     sess.drain_final()
     dt = time.perf_counter() - t0
     consumed = sess.ledger.sifted_bits - sess.stream.remaining - consumed0

@@ -8,10 +8,17 @@ parallelism here is the TPU build's own design, anchored in BASELINE.json:
   of the batch; no communication inside the decode (SURVEY.md §4.4 — this is
   why LDPC batches and Cascade doesn't).
 - **SP over the key stream** ("stream" axis): time-windows shard across
-  chips/hosts; the streaming Toeplitz hash spans shard boundaries, handled by
-  (a) a `ppermute` halo exchange that re-homes boundary-crossing PA units and
-  (b) a distributed global hash whose per-shard partial convolutions combine
-  with an XOR-`psum` over ICI.
+  chips/hosts; the streaming Toeplitz hash spans shard boundaries.  DESIGN
+  DECISION (round 4): of the two candidate realizations of BASELINE.json:5's
+  "overlap boundaries exchanged via collective permutes" — (a) a `ppermute`
+  halo exchange re-homing boundary-crossing PA units, vs (b) a distributed
+  global hash whose per-shard partial convolutions combine with an integer
+  `psum` over ICI — the build ships (b) (`sharded_stream_toeplitz` /
+  `make_stream_pa`).  The psum form needs no halo bookkeeping, keeps every
+  shard's FFT independent, moves exactly m output counts per shard (vs a
+  seed-length halo), and is bit-exact against the golden Toeplitz; a halo
+  prototype was carried through round 3 and deleted in round 4 because no
+  product path ever needed it.
 - **Global accounting**: the leakage ledger aggregates with `psum`
   (BASELINE config 5: "global leaked-bit psum accounting").
 
@@ -34,7 +41,7 @@ from qtpu.accounting import LEDGER_FIELDS
 
 __all__ = [
     "init_distributed", "make_mesh", "psum_ledger",
-    "make_sharded_decoder", "halo_exchange_right",
+    "make_sharded_decoder",
     "sharded_stream_toeplitz", "make_stream_pa",
 ]
 
@@ -97,20 +104,6 @@ def make_sharded_decoder(code, mesh: Mesh, max_iters: int = 50,
         return BatchDecodeResult(bits=bits, converged=conv, iterations=iters)
 
     return wrapped
-
-
-def halo_exchange_right(x: jax.Array, halo: int, axis: str) -> jax.Array:
-    """Ring-shift each shard's tail fragment to its right neighbor.
-
-    Under shard_map: x is the local (L, ...) stream window; returns the halo
-    fragment received from the LEFT neighbor (the previous time-window), so a
-    PA unit crossing the boundary can be assembled locally.  Device 0
-    receives the last device's tail (ring; callers mask it for open streams).
-    This is the project's CP/ring analog (SURVEY.md §6.7).
-    """
-    n = jax.lax.axis_size(axis)
-    perm = [(i, (i + 1) % n) for i in range(n)]
-    return jax.lax.ppermute(x[-halo:], axis, perm)
 
 
 def sharded_stream_toeplitz(t_bits: jax.Array, x_local: jax.Array, m: int,

@@ -89,7 +89,8 @@ def production_config(**overrides) -> "PipelineConfig":
     field via kwargs."""
     base = dict(n=65536, family="native3", blocks_per_window=128,
                 qber_test_bits=8192, stream_capacity_bits=1 << 27,
-                drain_windows=16, select_guard_steps=5.0)
+                drain_windows=16, select_guard_steps=3.0,
+                max_inflight_windows=3, security_eps=1e-10)
     base.update(overrides)
     return PipelineConfig(**base)
 
@@ -118,7 +119,24 @@ class PipelineConfig:
     max_iters: int = 60
     alg: str = "layered"   # row-layered min-sum: best thresholds + speed
     verify_hash_bits: int = 64
+    # Finite-size security margin subtracted from every block's final
+    # length.  When ``security_eps`` is set, the margin derives from the
+    # leftover-hash lemma: extracting l = n_priv − 2·log2(1/ε_sec) bits
+    # leaves the key ε_sec-close to uniform given Eve's information
+    # (SURVEY.md Appendix B's ε-parameterized term; the verification hash
+    # separately bounds ε_cor ≤ 2^−verify_hash_bits per block).  The flat
+    # ``security_margin_bits`` is the fallback when eps is None.
     security_margin_bits: int = 64
+    security_eps: Optional[float] = None
+
+    @property
+    def margin_bits(self) -> int:
+        """Per-block finite-size margin: ⌈2·log2(1/ε_sec)⌉ when an ε is
+        configured, else the flat security_margin_bits."""
+        if self.security_eps is not None:
+            import math
+            return int(math.ceil(2.0 * math.log2(1.0 / self.security_eps)))
+        return self.security_margin_bits
     # Blind-reconciliation retry: blocks that fail verification get
     # retry_fraction of their payload disclosed (protocol-PRNG positions) and
     # are re-decoded with those bits pinned, up to max_retries times, before
@@ -134,6 +152,13 @@ class PipelineConfig:
     # Post-decode QBER tracking (see qtpu.qber).  halflife in windows.
     qber_prior_halflife: float = 4.0
     qber_prior_max_n: int = 65536
+    # Estimator guardrails (qtpu.qber.QberEstimator — Wilson-score UCB):
+    # sigmas of headroom for rate selection, the adaptive-disclosure UCB
+    # budget (absolute / relative to q), and the prior warm-up threshold.
+    qber_ucb_sigmas: float = 2.0
+    qber_ucb_budget_abs: float = 0.0015
+    qber_ucb_budget_rel: float = 0.1
+    qber_prior_min_n: float = 64.0
     # Streaming overlap (PP): Alice opens up to this many windows before the
     # previous ones complete, so framing + link I/O of window w+1 hide under
     # the device's decode of window w.
@@ -144,6 +169,15 @@ class PipelineConfig:
     # Toeplitz seed spanning block and window boundaries every
     # pa_stream_windows windows (overlap-save scan on one device,
     # psum-combined shards on a mesh — BASELINE.json:5).
+    #
+    # MEASURED DECISION (round 4): per_block stays the default.  One
+    # window-equivalent stream flush (N=2^23 bits, m=0.7N, segment 2^16)
+    # costs 1261 ms on the TPU vs 13 ms for the per-block batched FFT —
+    # ~95x — because the overlap-save scan is O(num_segments · m · log) and
+    # at production secret fractions m ~ 0.7N (the scan shape only wins
+    # under deep compression, m << N).  Stream mode remains fully
+    # functional and bit-exact (tests/test_stream_pa.py) for deployments
+    # that need the single-seed-across-the-stream property.
     pa_mode: str = "per_block"
     pa_stream_windows: int = 4
     # Device stream arena capacity.  Growth beyond it recompiles every
@@ -255,7 +289,7 @@ class _Party:
             P = int(pos["payload"].size)
             l_max = max(0, P - step.leaked_bits()
                         - self.config.verify_hash_bits
-                        - self.config.security_margin_bits)
+                        - self.config.margin_bits)
             retry_bits = max(1, int(self.config.retry_fraction * P))
             k_max = self.k_max
             while k_max > max(1, P // 8):
@@ -459,15 +493,18 @@ class _Party:
         self._stream_net = 0
         self._stream_pending = 0
         self._stream_flushes += 1
-        m = max(0, net - self.config.security_margin_bits)
+        m = max(0, net - self.config.margin_bits)
         if m == 0 or stream.size == 0:
             return 0
         mesh = getattr(self, "_mesh", None)
         # Pad length is PROTOCOL configuration (both parties must hash the
         # identical padded stream regardless of their local mesh topology);
         # any power-of-two mesh up to the segment size divides it evenly.
+        # Padding to the next POWER OF TWO (not just a segment multiple)
+        # keeps the flush at a handful of compiled shapes — a per-flush
+        # novel length would recompile the overlap-save scan every flush.
         segment = 1 << 16
-        n_pad = -(-stream.size // segment) * segment
+        n_pad = max(segment, 1 << int(stream.size - 1).bit_length())
         padded = np.zeros(n_pad, np.uint8)
         padded[: stream.size] = stream
         key = prng.derive(self.session, "pa-stream", flush_idx)
@@ -848,7 +885,11 @@ class BobSession(_Party):
         self.gled_by_window: dict[int, np.ndarray] = {}
         from qtpu.qber import QberEstimator
         self.qest = QberEstimator(halflife=config.qber_prior_halflife,
-                                  max_n=float(config.qber_prior_max_n))
+                                  max_n=float(config.qber_prior_max_n),
+                                  ucb_sigmas=config.qber_ucb_sigmas,
+                                  ucb_budget_abs=config.qber_ucb_budget_abs,
+                                  ucb_budget_rel=config.qber_ucb_budget_rel,
+                                  prior_min_n=config.qber_prior_min_n)
         # Windows whose decode is dispatched but not yet resolved (device
         # futures) — resolved in arrival order by flush().
         self._pending: list[int] = []
@@ -873,7 +914,7 @@ class BobSession(_Party):
         g = self.config.short_granularity
         if self.config.fine_rate_adaptation:
             overhead = (self.config.verify_hash_bits
-                        + self.config.security_margin_bits + k_pb)
+                        + self.config.margin_bits + k_pb)
             r, s = self.ladder.select_fine(
                 q_ucb, granularity=g, efficiency=self.config.efficiency,
                 overhead_bits=overhead,
@@ -901,17 +942,36 @@ class BobSession(_Party):
             return q_ucb > max(lad.max_qber)
         return q_ucb >= 0.11   # min-sum rate-1/2 practical wall
 
-    def flush(self) -> bool:
-        """Resolve all dispatched decodes (ack windows in order); returns
-        True if anything was resolved."""
+    def flush(self, block: bool = True, limit: int = 0) -> bool:
+        """Resolve dispatched decodes (ack windows in order); returns True
+        if anything was resolved.  ``block=False`` resolves only windows
+        whose stats row has already LANDED host-side (the dispatch started
+        the transfer with copy_to_host_async) — the pump can poll it every
+        iteration without ever stalling on the device, turning the
+        per-window stats round trip into overlap.  ``limit`` > 0 bounds how
+        many windows a BLOCKING call resolves (resolve-the-oldest-only
+        keeps later windows queued on the device instead of draining the
+        pipeline)."""
         did = False
+        resolved = 0
         while self._pending:
-            w = self._pending.pop(0)
+            w = self._pending[0]
             st = self._inflight.get(w)
-            if st is None or st["stage"] != "decoding":
-                continue
-            self._resolve_decode(w, st)
-            did = True
+            if st is not None and st["stage"] == "decoding":
+                if not block:
+                    try:
+                        if not st["stats_dev"].is_ready():
+                            return did
+                    except Exception:
+                        pass  # backend without is_ready(): fall through
+                self._pending.pop(0)
+                self._resolve_decode(w, st)
+                did = True
+                resolved += 1
+                if block and limit and resolved >= limit:
+                    return did
+            else:
+                self._pending.pop(0)
         return did
 
     def push_sifted(self, bits) -> None:
@@ -934,13 +994,26 @@ class BobSession(_Party):
         elif isinstance(msg, Syndromes):
             self._on_syndromes(msg)
         elif isinstance(msg, RetryDisclose):
-            self.flush()   # retries reference resolved decode state
+            # Retries reference resolved decode state — but only THIS
+            # window's: a full flush here drained the whole device pipeline
+            # on every retry round (~2/3 of windows at production FER),
+            # serializing the stream each time.
+            self._flush_until(msg.window_id)
             self._on_retry(msg)
         elif isinstance(msg, Abort):
-            self.flush()
+            self._flush_until(msg.window_id)
             self._on_abort(msg)
         else:
             raise ValueError(f"Bob got unexpected {type(msg).__name__}")
+
+    def _flush_until(self, window_id: int) -> None:
+        """Resolve pending decodes up to and including ``window_id`` (ack
+        order stays monotone); later windows stay queued on the device."""
+        while self._pending and self._pending[0] <= window_id:
+            w = self._pending.pop(0)
+            st = self._inflight.get(w)
+            if st is not None and st["stage"] == "decoding":
+                self._resolve_decode(w, st)
 
     def abort_window(self, window_id: int, reason: str = "timeout") -> None:
         """Bob-side timeout abort (lost Syndromes / lost RetryDisclose):
@@ -1292,7 +1365,11 @@ def run_loopback(config: PipelineConfig, alice_bits: np.ndarray,
 
 def pump_sessions(alice, bob, la, lb, max_rounds: int = 10_000,
                   stop=None) -> None:
-    """Drive both sessions until quiescent (or ``stop()`` returns True)."""
+    """Drive both sessions until quiescent (or ``stop()`` returns True).
+
+    Decode resolution is polled non-blocking every round (landed stats
+    resolve immediately, in-flight ones keep the loop moving); a blocking
+    flush runs only when nothing else can progress."""
     for _ in range(max_rounds):
         if stop is not None and stop():
             return
@@ -1308,7 +1385,9 @@ def pump_sessions(alice, bob, la, lb, max_rounds: int = 10_000,
         if m is not None:
             alice.on_message(m)
             progressed = True
-        if not progressed and bob.flush():
+        if bob.flush(block=False):
+            progressed = True
+        if not progressed and bob.flush(limit=1):
             progressed = True
         if not progressed:
             return

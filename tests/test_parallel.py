@@ -11,7 +11,7 @@ from qtpu import pa as pa_mod
 from qtpu.ldpc.codes import make_regular_code
 from qtpu.ldpc.decode import make_batch_decoder, channel_llr
 from qtpu.ldpc.encode import make_batch_encoder
-from qtpu.parallel import (halo_exchange_right, make_mesh,
+from qtpu.parallel import (make_mesh,
                            make_sharded_decoder, sharded_stream_toeplitz)
 
 
@@ -94,25 +94,6 @@ def test_session_mesh_ledger_psum(mesh, code):
     assert gl[idx["blocks_ok"]] + gl[idx["blocks_failed"]] == B
     assert gl[idx["reconciled_bits"]] == okc * code.n
     assert okc == B, "all blocks should verify at 2% with this code"
-
-
-def test_halo_exchange(mesh):
-    """Each shard receives its left neighbor's tail fragment (ring)."""
-    import functools
-    D, L, H = 8, 32, 4
-    x = jnp.arange(D * L, dtype=jnp.int32)
-
-    @jax.jit
-    @functools.partial(jax.shard_map, mesh=mesh, in_specs=P("blocks"),
-                       out_specs=P("blocks"))
-    def run(xs):
-        halo = halo_exchange_right(xs, H, "blocks")
-        return jnp.concatenate([halo, xs[: L - H]])
-
-    out = np.asarray(run(x)).reshape(D, L)
-    for d in range(1, D):
-        np.testing.assert_array_equal(
-            out[d, :H], np.arange(d * L - H, d * L))  # left neighbor's tail
 
 
 def test_sharded_stream_toeplitz_matches_golden(mesh):

@@ -89,7 +89,7 @@ def production_config(**overrides) -> "PipelineConfig":
     field via kwargs."""
     base = dict(n=65536, family="native3", blocks_per_window=128,
                 qber_test_bits=8192, stream_capacity_bits=1 << 27,
-                drain_windows=16, select_guard_steps=3.0,
+                drain_windows=16, select_guard_steps=5.0,
                 max_inflight_windows=3, security_eps=1e-10)
     base.update(overrides)
     return PipelineConfig(**base)

@@ -311,20 +311,30 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         m_test = (inv_t >= jnp.uint32(Sm)) & (inv_t < jnp.uint32(Sm) + k)
         return m_short | m_test
 
-    def _vseeds(header, b, row0):
-        return _seed_rows(jax.random.fold_in(_wkey(header), TAG_VERIFY),
-                          b, P + Vh - 1, row0)
+    def _vmatrix(header):
+        """(P, Vh) int8 Toeplitz verification matrix from ONE window-level
+        seed (T[i, j] = t[j + i]).
 
-    def _verify_hash(t_bits, x_bits):
-        """(b, P+Vh-1) x (b, P) -> (b, Vh) Toeplitz hash as Vh shifted
-        AND+popcount dot products — for tiny output widths this is one
-        streaming pass over the operands, ~10x cheaper than the FFT path
-        on TPU (XLA FFT is a multi-pass HBM hog)."""
-        xi = x_bits.astype(jnp.int32)
-        cols = [jnp.sum(jax.lax.dynamic_slice_in_dim(t_bits, j, P, 1)
-                        .astype(jnp.int32) * xi, axis=1)
-                for j in range(Vh)]
-        return (jnp.stack(cols, axis=1) & 1).astype(jnp.uint8)
+        The seed is shared by every block in the window (v2.2): the
+        correctness property is per block — P[hash_t(x) = hash_t(y) for
+        x != y] <= 2^-Vh over t, for ANY fixed pair — so the union bound
+        over blocks needs no independence between blocks, and t is drawn
+        from the protocol PRNG independently of the channel noise.  A
+        shared seed turns the hash into one (B, P) x (P, Vh) int8 matmul
+        on the MXU with exact int32 accumulation (sums <= P < 2^31),
+        replacing Vh shifted VPU dot products (~2.4 ms -> ~0.1 ms per
+        window batch)."""
+        t = _seed_rows(jax.random.fold_in(_wkey(header), TAG_VERIFY),
+                       1, P + Vh - 1, jnp.uint32(0))[0]
+        cols = [jax.lax.dynamic_slice_in_dim(t, j, P) for j in range(Vh)]
+        return jnp.stack(cols, axis=1).astype(jnp.int8)
+
+    def _verify_hash(t_mat, x_bits):
+        """(P, Vh) x (b, P) -> (b, Vh) GF(2) Toeplitz hash via MXU int8
+        matmul (exact int32 accumulation, mod 2 at the end)."""
+        acc = jax.lax.dot(x_bits.astype(jnp.int8), t_mat,
+                          preferred_element_type=jnp.int32)
+        return (acc & 1).astype(jnp.uint8)
 
     def _build_codeword(payload, header, b, row0, punct_bits):
         """Assemble (b, n) codeword by COLUMN CONCATENATION (class-ordered
@@ -354,7 +364,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
             punct = jnp.zeros((B, 0), jnp.uint8)
         x = _build_codeword(payload, header, B, jnp.uint32(0), punct)
         syn = _encode(x)
-        hashes = _verify_hash(_vseeds(header, B, jnp.uint32(0)), payload)
+        hashes = _verify_hash(_vmatrix(header), payload)
         pos_s, pos_t, _ = _disclosure_positions(header, B, jnp.uint32(0))
         short_vals = payload[:, pos_s]                       # (B, Sm)
         test_vals = jnp.take_along_axis(payload, pos_t, axis=1)
@@ -406,7 +416,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         res = local_decoder(llr, syndromes)
         hat = _extract_payload(res.bits, b)
         hat = jnp.where(pinmask, rx_pin, hat)
-        hashes = _verify_hash(_vseeds(header, b, row0), hat)
+        hashes = _verify_hash(_vmatrix(header), hat)
         ok = jnp.all(hashes == exp_hashes, axis=1) & res.converged
         errs = jnp.sum((hat ^ rx_orig).astype(jnp.int32), axis=1)
         stats = jnp.stack([ok.astype(jnp.int32),
@@ -522,13 +532,7 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         res = small_decoder(llr, syndromes[rows])
         hat_r = _extract_payload(res.bits, R)
         hat_r = jnp.where(pin2_rows, rx2_rows, hat_r)
-        vseeds = _seed_rows_at(jax.random.fold_in(_wkey(header), TAG_VERIFY),
-                               rows, P + Vh - 1)
-        xi = hat_r.astype(jnp.int32)
-        cols = [jnp.sum(jax.lax.dynamic_slice_in_dim(vseeds, j, P, 1)
-                        .astype(jnp.int32) * xi, axis=1)
-                for j in range(Vh)]
-        hashes = (jnp.stack(cols, axis=1) & 1).astype(jnp.uint8)
+        hashes = _verify_hash(_vmatrix(header), hat_r)
         ok_r = (jnp.all(hashes == exp_hashes[rows], axis=1) & res.converged
                 & rows_valid.astype(bool))
         errs_r = jnp.sum((hat_r ^ rxo_rows).astype(jnp.int32), axis=1)

@@ -269,10 +269,18 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         return jax.random.wrap_key_data(header[2:4])
 
     def _frame(arena, header, b, row0):
-        """(b, P) payload slab: a contiguous reshape of the stream."""
+        """(b, P) payload slab: a contiguous reshape of the stream.
+
+        The optimization barrier forces the slice to MATERIALIZE: without
+        it XLA fuses the dynamic_slice into every consumer kernel, each of
+        which then takes the WHOLE arena as an operand — measured 4.9 GB
+        of HBM traffic per window (the 134 MB arena re-read ~18x), ~15 ms
+        of the 19 ms bob program.  One 8 MB materialized slab makes every
+        consumer read 8 MB instead."""
         cursor = header[0].astype(jnp.int32)
         off = cursor + row0.astype(jnp.int32) * P
         flat = jax.lax.dynamic_slice(arena, (off,), (b * P,))
+        flat = jax.lax.optimization_barrier(flat)
         return flat.reshape(b, P)
 
     def _disclosure_positions(header, b, row0):
@@ -378,11 +386,17 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
         k = header[6].astype(jnp.int32)
         # Pin disclosed positions to Alice's (true) values: disclosure
         # doubles as shortening.  Runtime counts mask via out-of-bounds
-        # scatter (mode="drop").
+        # scatter (mode="drop").  The SHORT family's positions are
+        # window-level (identical for every block), so its scatter runs in
+        # the TRANSPOSED layout — Sm full (b,)-lane ROW updates instead of
+        # b*Sm minor-axis element scatters (measured 14.4 -> 2.4 ms at
+        # Sm=15872; TPU element scatters serialize).  The per-block test
+        # family is only (b, Kq<=64) — the element scatter is fine there.
         rows = jnp.arange(b)[:, None]
-        pos_s_m = jnp.where(jnp.arange(Sm)[None, :] < s, pos_s[None, :], P)
+        pos_s_m1 = jnp.where(jnp.arange(Sm) < s, pos_s, P)    # (Sm,)
         pos_t_m = jnp.where(jnp.arange(Kq)[None, :] < k, pos_t, P)
-        rx_pin = rx_orig.at[rows, pos_s_m].set(short_alice, mode="drop")
+        rx_pin = rx_orig.T.at[pos_s_m1, :].set(short_alice.T,
+                                               mode="drop").T
         rx_pin = rx_pin.at[rows, pos_t_m].set(test_alice, mode="drop")
         pinmask = _pin_masks(header, b, row0, boff_t)
         # Every disclosed bit is a ground-truth channel sample: the pinned
@@ -482,12 +496,14 @@ def make_window_programs(code: QCCode, pay_pos: np.ndarray,
     def retry_program(arena, header, rx_orig, rx_pin, pinmask, hat, stats,
                       failed, positions, bits, syndromes, exp_hashes, qmag):
         """Blind-reconciliation retry: pin Alice's disclosed bits in failed
-        rows, re-decode, merge with the previous round's results."""
+        rows, re-decode, merge with the previous round's results.  Retry
+        positions are window-level, so the wide scatters run in the
+        transposed layout (full-row updates — see _bob_core)."""
         pinmask = pinmask.astype(bool)
         failed_b = failed.astype(bool)
-        rx2_all = rx_pin.at[:, positions].set(bits)
+        rx2_all = rx_pin.T.at[positions, :].set(bits.T).T
         rx2 = jnp.where(failed_b[:, None], rx2_all, rx_pin)
-        pin2_all = pinmask.at[:, positions].set(True)
+        pin2_all = pinmask.T.at[positions, :].set(True).T
         pin2 = jnp.where(failed_b[:, None], pin2_all, pinmask)
         hat2, st2 = _decode_core(arena, header, rx_orig, rx2, pin2,
                                  syndromes, exp_hashes, qmag,

@@ -81,30 +81,44 @@ def main() -> None:
         res.bits.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     decode_gbit = B * code.n / dt / 1e9
+    # Roofline honesty (BASELINE.json:5 "decoder at HBM-bandwidth
+    # speed-of-light"): the kernel's total HBM traffic per call is the
+    # in/out tensors only (messages stay VMEM-resident) — llr f32 in,
+    # syndrome i8 in, bits i8 + stats out.  Against the ~819 GB/s v5e
+    # roofline this reads ~1%: the decoder is NOT HBM-bound, it is
+    # VPU-compute-bound on the min-sum update rolls (the iteration loop
+    # re-reads VMEM, not HBM), which is the correct regime for a kernel
+    # whose state fits VMEM.
+    hbm_bytes = B * (code.n * 4 + code.m + code.n + 16)
+    decode_hbm_gbps = hbm_bytes / dt / 1e9
 
     extra = {
         "decode_gbit_s": round(decode_gbit, 3),
         "decode_step_ms": round(dt * 1e3, 3),
+        "decode_hbm_bytes_per_s": round(decode_hbm_gbps * 1e9, 0),
+        "decode_hbm_roofline_frac": round(decode_hbm_gbps / 819.0, 4),
         "warmup_s": round(warm_s, 1),
     }
 
     value_bits = decode_gbit * 1e9  # fallback if the chain measures fail
     tunnel_ok = warm_s < 120
 
-    # Two-party full chain on one chip (config 4).  Best of 3: the tunnel
-    # injects ±20% run-to-run variance (measured on identical runs); the
-    # best run reflects the hardware, the spread reflects the tunnel.
+    # Two-party full chain on one chip (config 4).  warmup_windows=8 keeps
+    # the rung switch (~window 3) and first blind-retry round (~window 4)
+    # OUT of the timed region — the round-4 artifact measured those
+    # first-call traces instead of the steady state and understated the
+    # system ~4.5x.
     if os.environ.get("QTPU_BENCH_SKIP_FULL") is None and tunnel_ok:
         try:
             from config4_full_chain import measure_full_chain
-            runs = [measure_full_chain(windows=16, warmup_windows=4)
+            runs = [measure_full_chain(windows=16, warmup_windows=8)
                     for _ in range(3)]
             # Tunnel weather comes in multi-minute phases; if every run
-            # looks degraded (best window far above the device-work sum,
-            # ~105 ms in good phases), sample a couple more.
+            # looks degraded (best window far above the device-work sum),
+            # sample a couple more.
             while (min(r["window_ms"] for r in runs) > 160
                    and len(runs) < 6):
-                runs.append(measure_full_chain(windows=16, warmup_windows=4))
+                runs.append(measure_full_chain(windows=16, warmup_windows=8))
             fc = max(runs, key=lambda r: r["sifted_bits_per_s"])
             extra["full_chain_run_spread_ms"] = sorted(
                 round(r["window_ms"], 1) for r in runs)
@@ -123,23 +137,35 @@ def main() -> None:
             extra["full_chain_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # THE JUDGED NUMBER: per-chip replay of Bob's pipeline (config 4).
+    # The value is the MEDIAN of clean runs (central statistic — round-4
+    # advisor finding on best-of-N semantics); best + spread ride extras.
+    # Runs whose timed region saw a first-call program trace
+    # (trace_growth > 0 — only possible on the process's first run, the
+    # program cache warms the rest) are excluded when enough clean runs
+    # exist.
     if os.environ.get("QTPU_BENCH_SKIP_FULL") is None and tunnel_ok:
         try:
             from config4_full_chain import measure_party
-            pruns = [measure_party("bob", windows=16, warmup_windows=4)
+            pruns = [measure_party("bob", windows=16, warmup_windows=8)
                      for _ in range(3)]
             while (min(r["window_ms"] for r in pruns) > 130
                    and len(pruns) < 6):
                 pruns.append(measure_party("bob", windows=16,
-                                           warmup_windows=4))
-            pb = max(pruns, key=lambda r: r["sifted_bits_per_s"])
+                                           warmup_windows=8))
+            clean = [r for r in pruns if r.get("trace_growth", 0) == 0]
+            use = clean if len(clean) >= 2 else pruns
+            rates = sorted(r["sifted_bits_per_s"] for r in use)
+            med = rates[len(rates) // 2]
+            pb = max(use, key=lambda r: r["sifted_bits_per_s"])
             extra["per_chip_run_spread_ms"] = sorted(
                 round(r["window_ms"], 1) for r in pruns)
+            extra["per_chip_traced_runs"] = len(pruns) - len(clean)
             extra.update({
-                "per_chip_bob_sifted_bits_per_s": pb["sifted_bits_per_s"],
+                "per_chip_bob_median_bits_per_s": med,
+                "per_chip_bob_best_bits_per_s": pb["sifted_bits_per_s"],
                 "per_chip_bob_window_ms": pb["window_ms"],
             })
-            value_bits = pb["sifted_bits_per_s"]
+            value_bits = med
         except Exception as e:
             extra["per_chip_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -167,13 +193,24 @@ def main() -> None:
             extra["sift_error"] = f"{type(e).__name__}: {e}"[:200]
 
     out = {
-        "metric": "full_chain_reconciled_bits_per_s_per_chip_qber3",
+        # Median-of-clean-runs per-chip replay (semantics explicit in the
+        # name; best-of-N and the two-party loopback number ride extras).
+        "metric": "full_chain_reconciled_bits_per_s_per_chip_qber3_median",
         "value": round(value_bits / 1e9, 4),
         "unit": "Gbit/s",
         "vs_baseline": round(value_bits / 1e9, 4),  # target: 1 Gbit/s
         "extra": extra,
     }
     print(json.dumps(out))
+    # Persist the measurement as a committed artifact (round-4 verdict
+    # weak #8: STATUS numbers must cite files, not memories).
+    try:
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "out", "bench_last_run.json")
+        with open(art, "w") as f:
+            json.dump(out, f, indent=2)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -74,7 +74,7 @@ AUTH_BITS_PER_MESSAGE = 61   # Wegman-Carter one-time pad (qtpu.auth, P61)
 
 
 def measure_full_chain(windows: int = 24, qber: float = 0.03,
-                       warmup_windows: int = 3, seed: int = 7,
+                       warmup_windows: int = 8, seed: int = 7,
                        config=None, wire: bool = False) -> dict:
     from qtpu.pipeline import (AliceSession, BobSession, production_config,
                                pump_sessions)
@@ -170,7 +170,7 @@ def measure_full_chain(windows: int = 24, qber: float = 0.03,
 
 
 def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
-                  warmup_windows: int = 3, seed: int = 7,
+                  warmup_windows: int = 8, seed: int = 7,
                   config=None) -> dict:
     """Per-chip throughput of ONE party's pipeline (the judged metric is
     bits/s/chip; a deployment gives each party its own accelerator — the
@@ -181,9 +181,26 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
     recorded peer messages (the protocol is deterministic, so the replayed
     side re-makes identical choices) and times only that side's handlers,
     device programs, and key drains.
+
+    Integrity guards (round-4 verdict weak #6 / next #1):
+
+    * The replayed side's OUTBOUND messages are collected and compared
+      byte-for-byte (packed wire form) against the recording after the
+      timed region — a silent protocol divergence in the replay fails
+      loudly instead of timing garbage.
+    * ``trace_growth`` in the result counts jit-trace cache entries
+      created INSIDE the timed region (qtpu.window_programs.
+      programs_cache_size) — nonzero means a first-call program trace
+      polluted the measurement (the round-4 artifact bug); callers should
+      discard or re-run such samples.  The process-wide program cache
+      (qtpu.pipeline._PROGRAM_CACHE) makes runs after the first fully
+      warm.
+    * ``warmup_windows=8`` puts the prior-driven rung switch (~window 3)
+      and the first blind-retry round (~window 4) inside the warmup.
     """
     import jax
     from qtpu.pipeline import AliceSession, BobSession, production_config
+    from qtpu.window_programs import programs_cache_size
     from qtpu.link import DirectLink
     import collections as _c
 
@@ -297,33 +314,65 @@ def measure_party(side: str = "bob", windows: int = 24, qber: float = 0.03,
             sess.flush(block=False)
             if len(sess._pending) >= cfg.max_inflight_windows:
                 sess.flush(limit=1)   # backpressure: resolve the oldest only
-        sink.clear()
         return i + 1
 
     def flush_all():
         if hasattr(sess, "flush"):
             sess.flush()
 
+    def _trace_cache() -> int:
+        return sum(programs_cache_size(p) for p in sess._programs.values())
+
     i = 0
     while i < len(inbound) and sess.window_id < warmup_windows:
         i = step(i)
     flush_all()
-    sink.clear()
     consumed0 = sess.ledger.sifted_bits - sess.stream.remaining
+    cache0 = _trace_cache()
     t0 = time.perf_counter()
     while i < len(inbound) and sess.window_id < n_total:
         i = step(i)
     flush_all()
     sess.drain_final()
     dt = time.perf_counter() - t0
+    trace_growth = _trace_cache() - cache0
     consumed = sess.ledger.sifted_bits - sess.stream.remaining - consumed0
     measured = sess.window_id - warmup_windows
+
+    # Replay-integrity check (outside the timed region): every outbound
+    # message of the replayed side must match the recording byte-for-byte.
+    from qtpu.messages import pack_message
+
+    def _key(m):
+        return (type(m).__name__, getattr(m, "window_id", -1),
+                getattr(m, "round", -1))
+
+    recorded = to_alice if side == "bob" else to_bob
+    sent_map: dict = {}
+    for m in sink:
+        sent_map.setdefault(_key(m), []).append(pack_message(m))
+    rec_map: dict = {}
+    for m in recorded:
+        rec_map.setdefault(_key(m), []).append(pack_message(m))
+    for k, payloads in sent_map.items():
+        if k in rec_map:
+            assert payloads == rec_map[k][: len(payloads)], \
+                f"replay diverged from recording at {k}"
+    # Coverage: the replayed side must have re-made every per-window
+    # decision the recording made for the measured range.
+    cover = ("VerifyAck", "RateSelect") if side == "bob" else ("Syndromes",)
+    for w in range(n_total):
+        for t in cover:
+            if any(k[0] == t and k[1] == w for k in rec_map):
+                assert any(k[0] == t and k[1] == w for k in sent_map), \
+                    f"replay never sent {t} for window {w}"
     return {
         "side": side,
         "windows": measured,
         "elapsed_s": round(dt, 4),
         "sifted_bits_per_s": round(consumed / dt, 1),
         "window_ms": round(1e3 * dt / max(1, measured), 3),
+        "trace_growth": trace_growth,
     }
 
 

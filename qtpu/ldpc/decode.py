@@ -238,12 +238,22 @@ def _make_layered_decoder(code: QCCode, max_iters: int, alpha: float):
         return worst > 0  # (B,)
 
     def _sweep(llr_i, totals, c2v, syn_sign):
+        """One layered sweep; also returns the FUSED convergence check —
+        each row's parity from the sign of the rolled totals the update
+        needs anyway (pre-update of that row; same contract as
+        golden._decode_layered v2 — no separate syndrome pass)."""
         c2v_list = [c2v[e] for e in range(E)]
         totals_list = [totals[j] for j in range(nb)]
+        worst = None
         for i in range(mb):
             slots = row_edges[i]
             t_chk = [jnp.roll(totals_list[edge_col[e]], -edge_shift[e], axis=0)
                      for e in slots]
+            prod = syn_sign[i]
+            for t in t_chk:
+                prod = prod * _sign(t)
+            row_min = jnp.min(prod, axis=0)  # (B,)
+            worst = row_min if worst is None else jnp.minimum(worst, row_min)
             msgs = [t_chk[k] - c2v_list[e] for k, e in enumerate(slots)]
             signs = [_sign(m) for m in msgs]
             mags = [jnp.abs(m) for m in msgs]
@@ -259,7 +269,7 @@ def _make_layered_decoder(code: QCCode, max_iters: int, alpha: float):
                 j = edge_col[e]
                 totals_list[j] = totals_list[j] + jnp.roll(
                     delta, edge_shift[e], axis=0)
-        return jnp.stack(totals_list), jnp.stack(c2v_list)
+        return jnp.stack(totals_list), jnp.stack(c2v_list), worst > 0
 
     @jax.jit
     def decode(llr: jax.Array, syndrome: jax.Array) -> BatchDecodeResult:
@@ -279,8 +289,7 @@ def _make_layered_decoder(code: QCCode, max_iters: int, alpha: float):
 
         def body(state):
             totals, c2v, ok, iters, it = state
-            totals_new, c2v_new = _sweep(llr_i, totals, c2v, syn_sign)
-            ok_new = _syndrome_ok(totals_new, syn_sign)
+            totals_new, c2v_new, ok_new = _sweep(llr_i, totals, c2v, syn_sign)
             keep = ok  # freeze converged blocks
             totals = jnp.where(keep[None, None, :], totals, totals_new)
             c2v = jnp.where(keep[None, None, :], c2v, c2v_new)

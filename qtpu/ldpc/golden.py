@@ -216,8 +216,21 @@ def _decode_layered(code: QCCode, llr: np.ndarray, syndrome: np.ndarray,
 
     Operation-order contract shared with the JAX/Pallas layered decoders:
     layers sweep base rows in ascending order; within a layer the slot order
-    is `row_edges[i]` order; totals update immediately via delta rolls;
-    the exact syndrome check runs after each full sweep.
+    is `row_edges[i]` order; totals update immediately via delta rolls.
+
+    Convergence (v2, fused): each row's parity is checked ON THE FLY from
+    the sign of the rolled totals the sweep computes anyway — evaluated
+    when the row is processed (after rows < i of the same sweep, before
+    row i's own update).  A sweep where every row passed declares
+    convergence with the END-of-sweep hard decision.  This removes the
+    separate per-sweep syndrome pass (a third of the rolls — measured ~35%
+    of Pallas iteration cost) at the price of a *rare* optimistic flag: a
+    later row's update can flip an earlier row's parity within the
+    declaring sweep, so H·x̂ = s is NOT re-verified here — the pipeline's
+    per-block verification hash catches such blocks exactly like any other
+    decode failure (they fail verification and retry).  An initial exact
+    syndrome check still short-circuits already-clean inputs at
+    iterations=0.
     """
     llr = np.asarray(llr, dtype=_F32).reshape(code.nb, code.z)
     syn_target = np.asarray(syndrome, dtype=np.uint8).reshape(code.mb, code.z)
@@ -232,10 +245,16 @@ def _decode_layered(code: QCCode, llr: np.ndarray, syndrome: np.ndarray,
         return DecodeResult(bits=bits, converged=True, iterations=0)
 
     for it in range(max_iters):
+        ok_sweep = True
         for i in range(code.mb):
             slots = [int(e) for e in code.row_edges[i] if e >= 0]
             t_chk = [np.roll(totals[int(code.edge_col[e])],
                              -int(code.edge_shift[e])) for e in slots]
+            prod = syn_sign[i]
+            for t in t_chk:
+                prod = prod * _sign(t)
+            if prod.min() <= 0:
+                ok_sweep = False
             msgs = [t_chk[k] - c2v[e] for k, e in enumerate(slots)]
             signs = [_sign(m) for m in msgs]
             mags = [np.abs(m) for m in msgs]
@@ -251,6 +270,6 @@ def _decode_layered(code: QCCode, llr: np.ndarray, syndrome: np.ndarray,
                 j, s = int(code.edge_col[e]), int(code.edge_shift[e])
                 totals[j] = totals[j] + np.roll(delta, s)
         bits = (totals < 0).astype(np.uint8)
-        if np.array_equal(encode_syndrome(code, bits), syn_target):
+        if ok_sweep:
             return DecodeResult(bits=bits, converged=True, iterations=it + 1)
     return DecodeResult(bits=bits, converged=False, iterations=max_iters)

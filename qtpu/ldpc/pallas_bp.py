@@ -195,11 +195,26 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
             it, _ = carry
             ok_prev = _sget(state, 0)
             # ---- one layered sweep: rows update sequentially with
-            # immediate posterior (totals) updates -------------------------
+            # immediate posterior (totals) updates.  The convergence check
+            # is FUSED into the sweep: each row's parity comes from the
+            # sign of the t_chk rolls the update needs anyway (pre-update
+            # of that row — golden._decode_layered v2 contract), removing
+            # the separate per-sweep syndrome pass (1/3 of the rolls,
+            # measured ~35% of iteration cost).  The rare optimistic flag
+            # (a later row flipping an earlier row's parity within the
+            # declaring sweep) is caught by the pipeline's per-block
+            # verification hash like any other decode failure. -----------
+            worst = None
             for i in range(mb):
                 slots = row_edges[i]
                 t_chks = [_roll(totals[edge_col[e]], -edge_shift[e])
                           for e in slots]
+                prod = coset(i)
+                for t in t_chks:
+                    prod = prod * _sign(t)
+                row_min = _redmin(prod)
+                worst = row_min if worst is None else jnp.minimum(worst,
+                                                                  row_min)
                 msgs = [t_chks[k] - c2v[e] for k, e in enumerate(slots)]
                 signs = [_sign(m) for m in msgs]
                 mags = [jnp.abs(m) for m in msgs]
@@ -215,8 +230,8 @@ def make_pallas_decoder(code: QCCode, max_iters: int = 50,
                     j = edge_col[e]
                     totals[j] = totals[j] + _roll(delta, edge_shift[e])
 
-            # ---- post-sweep convergence, latching ------------------------
-            ok_cur = syndrome_ok()
+            # ---- convergence latching ------------------------------------
+            ok_cur = (worst > 0).astype(jnp.float32)
             newly = jnp.logical_and(ok_cur > 0, ok_prev <= 0)
             for j in range(nb):
                 bits_ref[j] = jnp.where(newly, (totals[j] < 0).astype(jnp.int8),

@@ -61,7 +61,24 @@ from qtpu.ldpc.codes import QCCode
 from qtpu.ldpc.decode import BIG_LLR, make_batch_decoder
 
 __all__ = ["WindowPrograms", "make_window_programs", "make_header",
-           "choose_affine"]
+           "choose_affine", "programs_cache_size"]
+
+
+def programs_cache_size(progs: "WindowPrograms") -> int:
+    """Total jit-trace cache entries across one rung's programs.
+
+    The bench's steady-state guard: a GROWING count inside a timed region
+    means a first-call trace (or a fresh compile-cache load) landed there —
+    the round-4 judged artifact understated the system ~4.5x because the
+    first blind-retry round traced ``retry_small`` inside the measured
+    windows.  Snapshot before, assert unchanged after."""
+    total = 0
+    for fn in progs[:7]:
+        try:
+            total += fn._cache_size()
+        except Exception:
+            pass
+    return total
 
 HEADER_WORDS = 12
 

@@ -321,3 +321,50 @@ def test_uncorrectable_qber_aborts_session():
     # either way zero secret key and matching ledgers.
     assert alice.ledger.final_bits == 0
     _assert_synced(alice, bob, expect_key=False)
+
+
+@pytest.mark.parametrize("pa_mode", ["per_block", "stream"])
+def test_resurrect_after_later_window_finalized_stays_ordered(pa_mode):
+    """Round-4 advisor medium: window 0's ack is lost, window 1 completes
+    normally, THEN the resurrect ack lands — Alice finalizes 1 before 0.
+    Both parties must emit identical final keys in identical order:
+    per_block sorts the emit lists by (window, block); stream mode buffers
+    payloads by window id and flushes id ranges only when settled (the
+    limbo stash blocks the range until the resurrection resolves)."""
+    cfg = _cfg(pa_mode=pa_mode, pa_stream_windows=2, max_inflight_windows=2)
+    alice, bob, la, lb = _sessions(cfg, 20)
+    alice.start_window()
+    bob.on_message(lb.recv())          # open -> RateSelect
+    alice.on_message(la.recv())        # rate -> Syndromes
+    bob.on_message(lb.recv())          # Bob consumes + decodes
+    bob.flush()                        # Bob finalizes window 0
+    lost = la.recv()                   # ...ack for window 0 is LOST
+    assert type(lost).__name__ == "VerifyAck"
+    assert bob.window_id == 1, "seed must give a clean first-round decode"
+    # Window 1 runs to completion while 0 is stuck.
+    alice.start_window()
+    bob.on_message(lb.recv())
+    alice.on_message(la.recv())
+    bob.on_message(lb.recv())
+    bob.flush()
+    ack1 = la.recv()
+    assert type(ack1).__name__ == "VerifyAck" and ack1.window_id == 1
+    alice.on_message(ack1)             # Alice finalizes 1 BEFORE 0
+    if pa_mode == "stream":
+        assert alice._stream_flushes == 0, \
+            "flush range [0,2) must wait for window 0"
+    # Alice times out window 0; Bob's cached ack resurrects it.
+    alice.abort_window(0, "timeout")
+    bob.on_message(lb.recv())
+    while (m := lb.recv()) is not None:
+        bob.on_message(m)
+    while (m := la.recv()) is not None:
+        alice.on_message(m)
+    assert 0 not in alice._limbo
+    pump_sessions(alice, bob, la, lb)
+    _assert_synced(alice, bob)
+    assert alice.final_key_index == sorted(alice.final_key_index)
+    if pa_mode == "per_block":
+        assert any(w == 0 for w, _ in alice.final_key_index)
+    else:
+        assert alice._stream_flushes >= 1

@@ -102,3 +102,43 @@ def test_servo_tracks_offset(events):
         jnp.asarray(det_b & 1),
         jnp.int32(events.true_offset_units - 200), window=400, num_chunks=8)
     assert abs(int(final_offset) - events.true_offset_units) < 50
+
+
+def test_one_to_one_exact_at_wide_window_large_frame():
+    """Lexicographic (dist, index) tie-break must pick the true closest
+    Alice event per Bob event even when window * Na >= 2^31 — the regime
+    where the old composite dist*Na+i int32 key wrapped negative and chose
+    wrong winners (round-4 advisor finding: the iterative pfind refine's
+    ~4096-unit window over 2^19-event frames)."""
+    rng = np.random.default_rng(7)
+    na = 1 << 19
+    window = 8192            # window * na = 2^32 > int32 range
+    span = sift.MAX_SPAN - 1
+    ta = np.sort(rng.integers(0, span, na)).astype(np.int32)
+    tb = np.sort(rng.integers(0, span, na)).astype(np.int32)
+    dummy = np.zeros(na, np.uint8)
+    r = sift.coincidence_match(jnp.asarray(ta), jnp.asarray(dummy),
+                               jnp.asarray(tb), jnp.asarray(dummy),
+                               jnp.asarray(dummy), jnp.int32(0),
+                               window=window)
+    matched = np.asarray(r.matched)
+    best = np.asarray(r.bob_index)
+    # Reference winners: for each Bob event, the (dist, index)-lex smallest
+    # Alice claimant (candidate = each Alice event's nearest Bob event).
+    pos = np.searchsorted(tb, ta)
+    right = np.clip(pos, 0, na - 1)
+    left = np.clip(pos - 1, 0, na - 1)
+    take_left = np.abs(tb[left] - ta) <= np.abs(tb[right] - ta)
+    ref_best = np.where(take_left, left, right)
+    ref_dist = np.abs(tb[ref_best] - ta).astype(np.int64)
+    cand = ref_dist <= window
+    order = np.lexsort((np.arange(na), ref_dist, ref_best))
+    order = order[cand[order]]
+    first = np.ones(order.size, bool)
+    first[1:] = ref_best[order[1:]] != ref_best[order[:-1]]
+    ref_matched = np.zeros(na, bool)
+    ref_matched[order[first]] = True
+    np.testing.assert_array_equal(matched, ref_matched)
+    np.testing.assert_array_equal(best[matched], ref_best[matched])
+    # Sanity: the wide window makes heavy multi-claim contention.
+    assert matched.sum() > 0.5 * na

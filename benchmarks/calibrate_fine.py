@@ -28,11 +28,31 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     family = sys.argv[2] if len(sys.argv) > 2 else "native3"
     blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 192
+    # Optional rung subset (comma list, arg 4): calibrate only these rungs
+    # live and BORROW the rest from a smaller-n fine table (arg 5, default
+    # 65536) — ceilings improve with block length for these ensembles, so
+    # borrowed smaller-n values are conservative.  This is what makes an
+    # n=131072 campaign affordable: only the rungs the target QBER actually
+    # selects need fresh tunnel time.
+    rungs = ([int(x) for x in sys.argv[4].split(",")]
+             if len(sys.argv) > 4 else None)
+    borrow_n = int(sys.argv[5]) if len(sys.argv) > 5 else 65536
     lad = make_rate_ladder(n, family=family, alg="layered")
+    borrow = None
+    if rungs is not None:
+        bpath = os.path.join(os.path.dirname(__file__), "out",
+                             f"cal_fine_{family}_{borrow_n}.json")
+        with open(bpath) as f:
+            borrow = json.load(f)
     # Bracket each rung's bisection around its coarse ceiling; a block length
     # without its own table borrows the n=16384 table (finite-length shifts
     # are well under the ±(0.4%, 0.6%) bracket margins).
     coarse = lad.max_qber
+    if coarse is None:
+        from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION
+        coarse = DEFAULT_CALIBRATION.get((n, 3, "layered", family))
+    if coarse is None and borrow is not None:
+        coarse = borrow["max_qber"]
     if coarse is None:
         from qtpu.ldpc.calibrate import DEFAULT_CALIBRATION
         coarse = DEFAULT_CALIBRATION[(16384, 3, "layered", family)]
@@ -40,6 +60,11 @@ def main() -> None:
     out_curves = []
     t00 = time.time()
     for ri, step in enumerate(lad.steps):
+        if rungs is not None and ri not in rungs:
+            out_ceil.append(borrow["max_qber"][ri])
+            out_curves.append(list(borrow["short_ceilings"][ri]))
+            print(f"{step.name}: borrowed from n={borrow_n}", flush=True)
+            continue
         lo = max(0.0025, coarse[ri] - 0.004)
         hi = min(0.135, coarse[ri] + 0.006)
         curve = []

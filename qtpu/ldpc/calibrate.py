@@ -362,6 +362,39 @@ FINE_CALIBRATION: dict[tuple[int, int, str, str], dict] = {
             (0.00781, 0.00812, 0.00876, 0.00973, 0.0107, 0.01167)),
         "calib_step": 0.0005,
     },
+    # native3 ladder at n=131072 (z=4096 lifts; TPU v5 lite 2026-08-21,
+    # blocks=96, rungs 3-6 measured live, others borrowed from n=65536 —
+    # borrowed smaller-n ceilings are conservative for these ensembles).
+    # MEASURED NEGATIVE RESULT (round 5): the z=4096 lifts of the
+    # UNPUNCTURED protographs (rungs 3 = mb9p0 and 5 = mb8p0) show an FER
+    # floor of ~1-3% from small trapping sets (5-6 residual bits after 60
+    # sweeps; reproduced bit-exactly on both the Pallas and the XLA
+    # decoders, so it is the code, not a kernel) — their ceilings collapse
+    # below the bisect bracket and are recorded as measured (0.0 = FER
+    # floor above target even at the bracket floor).  Rung 6's ceiling
+    # also drops 2.76% vs 2.94% at n=65536.  Net effect: n=131072 offers
+    # NO efficiency gain over n=65536 on this ladder (the rate-0.767 rung
+    # needs ~5% shortening at 3% QBER, erasing its rate advantage), and
+    # production stays at n=65536.  A girth/ACE-aware shift assignment for
+    # large z is the structural fix (backlog).  Selection with this table
+    # is safe: the floored rungs' honest 0.0 ceilings simply exclude them.
+    (131072, 3, "layered", "native3"): {
+        "max_qber": (0.08288, 0.05819, 0.04319, 0.0, 0.03387, 0.0,
+                     0.02763, 0.01663, 0.01194, 0.00781),
+        "short_grid": (0.0, 0.05, 0.1, 0.15, 0.2, 0.25),
+        "short_ceilings": (
+            (0.08288, 0.09008, 0.0986, 0.10712, 0.11859, 0.13146),
+            (0.05819, 0.0631, 0.06833, 0.07422, 0.08077, 0.08961),
+            (0.04319, 0.04646, 0.05038, 0.05463, 0.05986, 0.06608),
+            (0.0, 0.0, 0.02, 0.03936, 0.04886, 0.05377),
+            (0.03387, 0.03681, 0.03942, 0.04269, 0.04628, 0.05119),
+            (0.0, 0.02, 0.03332, 0.03757, 0.04116, 0.04541),
+            (0.02763, 0.03188, 0.03449, 0.03743, 0.0407, 0.04495),
+            (0.01663, 0.0176, 0.01922, 0.02085, 0.02247, 0.02508),
+            (0.01194, 0.01258, 0.01388, 0.01485, 0.01615, 0.01777),
+            (0.00781, 0.00812, 0.00876, 0.00973, 0.0107, 0.01167)),
+        "calib_step": 0.0005,
+    },
 }
 
 

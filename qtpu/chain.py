@@ -72,6 +72,7 @@ class AliceChain:
         self.ec = AliceSession(config.pipeline, session_seed, link)
         self._window_bits: dict[int, "collections.deque"] = {}
         self._sift_window = 0
+        self._splicers: dict[tuple, object] = {}
 
     def push_stream(self, times_abs: np.ndarray,
                     detectors: np.ndarray) -> None:
@@ -112,13 +113,42 @@ class AliceChain:
             bits = q.popleft()
             if not q:
                 del self._window_bits[msg.window_id]
-            sifted = np.asarray(sift.splice(jnp.asarray(bits),
-                                            jnp.asarray(msg.indices)))
-            self.ec.push_sifted(sifted)
+            if msg.count >= 0:
+                # Device-resident form: padded index row + valid prefix.
+                # Upload the raw key bit-PACKED, splice as a device gather,
+                # append the padded result with the prefix length — no
+                # index/mask d2h anywhere on the sift path.
+                self.ec.push_sifted(
+                    self._splice_device(bits, msg.indices), n=msg.count)
+            else:
+                sifted = np.asarray(sift.splice(jnp.asarray(bits),
+                                                jnp.asarray(msg.indices)))
+                self.ec.push_sifted(sifted)
         else:
             self.ec.on_message(msg)
         if self.ec.can_start_window():
             self.ec.start_window()
+
+    def _splice_device(self, bits: np.ndarray, idx_dev):
+        """jnp.take(raw key, type-4 index) with bounded compile shapes:
+        the raw bits upload bit-packed at power-of-two word counts; the
+        gather's index row already has the peer's static capacity."""
+        import jax as _jax
+        from qtpu.framing import pack_bits
+        words = pack_bits(np.asarray(bits, np.uint8))
+        wcap = 256
+        while wcap < words.size:
+            wcap <<= 1
+        padded = np.zeros(wcap, np.uint32)
+        padded[: words.size] = words
+        key = ("splice", wcap, int(idx_dev.shape[0]))
+        if key not in self._splicers:
+            def fn(w, idx):
+                shifts = jnp.arange(32, dtype=jnp.uint32)
+                b = ((w[:, None] >> shifts) & 1).astype(jnp.uint8).reshape(-1)
+                return jnp.take(b, idx, axis=-1)
+            self._splicers[key] = _jax.jit(fn)
+        return self._splicers[key](jnp.asarray(padded), idx_dev)
 
     def idle(self) -> bool:
         """True when nothing more can happen without new events or peer input."""
@@ -249,17 +279,47 @@ class BobChain:
                   det_b: np.ndarray) -> None:
         basis_b = (det_b >> 1) & 1
         bits_b = det_b & 1
-        ta = jnp.asarray(msg.times)
-        tb = jnp.asarray(times_b)
+        # Pad to the sticky power-of-two capacities (shared with the
+        # batched path): raw per-frame event counts are all distinct, and
+        # every distinct shape is a fresh multi-second XLA compile over
+        # the tunnel — unpadded dispatch made EVERY frame a compile.
+        na = len(msg.times)
+        nb = len(times_b)
+        self._na_cap = max(getattr(self, "_na_cap", 256), self._pow2(na))
+        self._nb_cap = max(getattr(self, "_nb_cap", 256), self._pow2(nb))
+        ta_p = np.full(self._na_cap, sift.DEVICE_PAD, np.int32)
+        ta_p[:na] = msg.times
+        ba_p = np.zeros(self._na_cap, np.uint8)
+        ba_p[:na] = msg.basis
+        tb_p = np.full(self._nb_cap, sift.DEVICE_PAD, np.int32)
+        tb_p[:nb] = times_b
+        bb_p = np.zeros(self._nb_cap, np.uint8)
+        bb_p[:nb] = basis_b
+        xb_p = np.zeros(self._nb_cap, np.uint8)
+        xb_p[:nb] = bits_b
+        ta = jnp.asarray(ta_p)
+        tb = jnp.asarray(tb_p)
         if self.offset is None:
             span = min(int(self.config.window_s * 1e9 * TIME_UNITS_PER_NS),
                        sift.MAX_SPAN)
-            self.offset = int(sift.pfind(ta, tb, span,
-                                         num_bins=self.config.pfind_bins))
-        r = sift.coincidence_match(
-            ta, jnp.asarray(msg.basis),
-            tb, jnp.asarray(basis_b), jnp.asarray(bits_b),
-            jnp.int32(self.offset), self.config.coincidence_window)
+            # One jitted program for the whole acquisition (coarse FFT
+            # x-corr + the iterative shrinking-window refine): run eagerly
+            # this is ~100 per-op round trips over the tunnel.
+            import jax as _jax
+            bins = self.config.pfind_bins
+            pf = _jax.jit(lambda a, b: sift.pfind(a, b, span, num_bins=bins))
+            self.offset = int(pf(ta, tb))
+        key = ("one", self._na_cap, self._nb_cap)
+        if key not in self._matchers:
+            import jax as _jax
+            w = self.config.coincidence_window
+            self._matchers[key] = _jax.jit(
+                lambda a, ba, b, bb, xb, off:
+                sift.coincidence_match(a, ba, b, bb, xb, off, w))
+        r = self._matchers[key](
+            ta, jnp.asarray(ba_p),
+            tb, jnp.asarray(bb_p), jnp.asarray(xb_p),
+            jnp.int32(self.offset))
         # Drift servo: track the residual for the next window.
         residual = float(r.residual)
         self.offset += int(self.config.servo_gain * residual)
@@ -281,10 +341,21 @@ class BobChain:
 
     def _sift_batch(self, frames: list[tuple]) -> None:
         """Batched sifting: F frames in ONE device dispatch (servo carried
-        on device between frames), one host fetch for the whole batch."""
-        F = len(frames)
-        na_cap = self._pow2(max(len(m.times) for m, _, _ in frames))
-        nb_cap = self._pow2(max(len(t) for _, t, _ in frames))
+        on device between frames), one host fetch for the whole batch.
+
+        Partial batches (stream-progress flushes) PAD to the next
+        power-of-two batch size with empty frames (all DEVICE_PAD times —
+        zero matches, zero residual, servo no-op) instead of compiling a
+        separate matcher per batch length, and the event-capacity buckets
+        are STICKY (monotone running maxima): each distinct (F, Na, Nb)
+        shape is a fresh multi-second XLA compile over the tunnel, so the
+        shape space must stay small and stabilize quickly."""
+        F = self._pow2(len(frames), floor=2)
+        self._na_cap = max(getattr(self, "_na_cap", 256),
+                           self._pow2(max(len(m.times) for m, _, _ in frames)))
+        self._nb_cap = max(getattr(self, "_nb_cap", 256),
+                           self._pow2(max(len(t) for _, t, _ in frames)))
+        na_cap, nb_cap = self._na_cap, self._nb_cap
         ta = np.full((F, na_cap), sift.DEVICE_PAD, np.int32)
         ba = np.zeros((F, na_cap), np.uint8)
         tb = np.full((F, nb_cap), sift.DEVICE_PAD, np.int32)
@@ -304,29 +375,34 @@ class BobChain:
         r = self._matchers[key](jnp.asarray(ta), jnp.asarray(ba),
                                 jnp.asarray(tb), jnp.asarray(bb),
                                 jnp.asarray(xb), jnp.int32(self.offset))
-        # ONE device→host fetch for the batch.
-        masks = np.asarray(r.sift_mask)
-        bits = np.asarray(r.bob_bits)
+        # Device-resident epilogue: compaction + per-frame type-4 index
+        # rows stay on device; only the tiny per-frame COUNTS and servo
+        # residuals cross to the host (fetching the (F, Na) masks/bits
+        # cost ~190 ms per 8x524k batch over the tunnel — half the
+        # in-chain sift cost).  The compacted bob bits append to the EC
+        # stream as a padded device buffer with a valid-prefix length.
+        idx_dev, counts_dev, bits_flat = sift.sift_outputs(r.sift_mask,
+                                                           r.bob_bits)
+        counts = np.asarray(counts_dev)
         mcounts = np.asarray(r.matched_counts)
         residuals = np.asarray(r.residuals)
         # Per-frame servo trajectory for the stats (same f32-multiply +
         # truncate arithmetic as the device scan carry).
         offset = np.int32(self.offset)
         self.offset = int(r.final_offset)
-        all_bits = []
+        total = int(counts[: len(frames)].sum())
         for i, (msg, times_b, _d) in enumerate(frames):
-            na = len(msg.times)
-            idx = np.flatnonzero(masks[i, :na]).astype(np.int32)
-            all_bits.append(bits[i, idx])
-            self.link.send(SiftIndex(window_id=msg.window_id, indices=idx))
+            self.link.send(SiftIndex(window_id=msg.window_id,
+                                     indices=idx_dev[i],
+                                     count=int(counts[i])))
             offset = np.int32(offset + np.int32(
                 np.float32(self.config.servo_gain)
                 * np.float32(residuals[i])))
-            self._record_stats(msg, times_b, int(mcounts[i]), int(idx.size),
-                               float(residuals[i]), offset=int(offset))
-        if all_bits:
-            self.ec.push_sifted(
-                np.concatenate(all_bits).astype(np.uint8))
+            self._record_stats(msg, times_b, int(mcounts[i]),
+                               int(counts[i]), float(residuals[i]),
+                               offset=int(offset))
+        if total:
+            self.ec.push_sifted(bits_flat, n=total)
 
     def _record_stats(self, msg: TimingBasis, times_b: np.ndarray,
                       coincidences: int, sifted: int,

@@ -302,13 +302,21 @@ class TimingBasis(Message):
 class SiftIndex(Message):
     """Bob's sifting decision for one window — the reference type-4 stream:
     indices of Alice's events that were coincidence-matched with agreeing
-    basis, in order.  Alice splices her raw key at these positions."""
+    basis, in order.  Alice splices her raw key at these positions.
+
+    Device-resident form (in-process DirectLinks): ``indices`` may be a
+    padded DEVICE row with ``count`` giving the valid prefix — the splice
+    then happens as a device gather with no mask/index d2h at all (the
+    fetch of the full (F, Na) sift masks was half the in-chain sift cost).
+    ``count < 0`` means the legacy dense form (count = len(indices))."""
     indices: np.ndarray  # (K,) int32 indices into Alice's window events
+    count: int = -1      # valid prefix length; -1 = len(indices)
     TYPE: ClassVar[MsgType] = MsgType.SIFT_INDEX
 
     def payload_bytes(self) -> bytes:
-        return (struct.pack("<I", len(self.indices))
-                + np.asarray(self.indices, np.int32).tobytes())
+        k = self.count if self.count >= 0 else len(self.indices)
+        idx = _as_np(self.indices, np.int32)[:k]
+        return struct.pack("<I", k) + idx.tobytes()
 
     @classmethod
     def from_payload(cls, window_id: int, data: bytes) -> "SiftIndex":

@@ -614,12 +614,13 @@ class _Party:
 
     # -- stream management ----------------------------------------------
 
-    def push_sifted(self, bits) -> None:
+    def push_sifted(self, bits, n: int | None = None) -> None:
         """Append sifted bits: host np.ndarray or a device uint8 array
-        (device arrays append with zero host↔device traffic)."""
-        n = int(bits.shape[0])
-        self.ledger.add(sifted_bits=n)
-        self.stream.push(bits)
+        (device arrays append with zero host↔device traffic).  ``n``:
+        valid prefix of a PADDED device buffer (sift-stage output)."""
+        count = int(bits.shape[0]) if n is None else int(n)
+        self.ledger.add(sifted_bits=count)
+        self.stream.push(bits, n)
 
     def _sync_auth_bits(self) -> None:
         """Charge channel-authentication key consumption (AuthedLink /
@@ -1079,8 +1080,8 @@ class BobSession(_Party):
                 self._pending.pop(0)
         return did
 
-    def push_sifted(self, bits) -> None:
-        super().push_sifted(bits)
+    def push_sifted(self, bits, n: int | None = None) -> None:
+        super().push_sifted(bits, n)
         self._service_opens()
 
     def checkpoint_state(self) -> dict:

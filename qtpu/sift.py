@@ -34,7 +34,8 @@ import numpy as np
 
 __all__ = ["pfind", "coincidence_match", "splice", "compact_by_mask",
            "SiftResult", "DEVICE_PAD", "MAX_SPAN", "rebase_times",
-           "FrameSiftResult", "make_frame_matcher", "compact_frames"]
+           "FrameSiftResult", "make_frame_matcher", "compact_frames",
+           "sift_outputs"]
 
 DEVICE_PAD = np.int32(2 ** 30)   # padding time: sorts last, overflow-safe
 MAX_SPAN = 2 ** 29               # max window span in 125 ps units (~67 ms)
@@ -83,27 +84,52 @@ def pfind(times_a: jax.Array, times_b: jax.Array, span: int,
     coarse = xcorr_peak(times_a, times_b, 0, span, num_bins)
     if not refine:
         return coarse
-    # Fine passes: with Alice shifted by the current estimate, the mean
-    # residual of nearest-neighbor matches IS the remaining offset (the
-    # servo statistic costream tracks; reuse the matcher).  One pass is NOT
-    # enough at high event rates: accidental matches are uniform in the
-    # window and bias the mean toward zero, so a wide window undershoots
-    # the correction by the accidental fraction.  Iterating with a
-    # SHRINKING window drives the accidental fraction (proportional to the
-    # window) down each pass and converges to a few timing-jitter units —
-    # required for the ±window servo lock at 10^6-10^8 events/s.
+
+    def nearest_delta(est, w):
+        """Signed delta to each Alice event's nearest Bob event, validity
+        mask for |delta| <= w (pads excluded)."""
+        t = times_a + est
+        pos = jnp.searchsorted(times_b, t, method="sort")
+        nb = times_b.shape[0]
+        right = jnp.clip(pos, 0, nb - 1)
+        left = jnp.clip(pos - 1, 0, nb - 1)
+        dr = times_b[right] - t
+        dl = times_b[left] - t
+        take_l = jnp.abs(dl) <= jnp.abs(dr)
+        d = jnp.where(take_l, dl, dr)
+        best = jnp.where(take_l, left, right)
+        valid = ((times_a < DEVICE_PAD) & (times_b[best] < DEVICE_PAD)
+                 & (jnp.abs(d) <= w))
+        return d, valid
+
+    # Stage 2 — HISTOGRAM-PEAK refinement over +-2 coarse bins.  A
+    # mean-residual servo (the pre-round-5 refine) fails at high event
+    # rates: accidental nearest-neighbors are uniform in the window and
+    # dilute/bias the mean, so the correction undershoots and a shrinking
+    # window can drop below the remaining error and lock onto pure
+    # background (reproduced at 10^7 pairs/s: coarse error 527 units,
+    # refine stalled at 497).  The delta HISTOGRAM is robust: the true
+    # offset is a sharp jitter-width peak on a flat background,
+    # rate-independent.
     scale = max(1, span // num_bins)
-    dummy_a = jnp.zeros(times_a.shape, jnp.uint8)
-    dummy_b = jnp.zeros(times_b.shape, jnp.uint8)
     est = coarse
     w = 2 * scale
-    while True:
-        r = coincidence_match(times_a, dummy_a, times_b, dummy_b,
-                              dummy_b, est, window=w)
-        est = est + r.residual.astype(jnp.int32)
-        if w <= 48:
-            break
-        w = max(48, w // 8)
+    bin_w = 16
+    nbins = (2 * w) // bin_w
+    d, valid = nearest_delta(est, w)
+    idx = jnp.clip((d + w) // bin_w, 0, nbins - 1)
+    hist = jnp.zeros(nbins, jnp.float32).at[idx].add(
+        valid.astype(jnp.float32))
+    est = est + (jnp.argmax(hist).astype(jnp.int32) * bin_w
+                 + bin_w // 2 - w)
+    # Stage 3 — mean lock at jitter scale: with the error now below the
+    # bin width, a tight window keeps the accidental fraction negligible
+    # and the mean converges to ~1 unit.
+    for wf in (64, 48):
+        d, valid = nearest_delta(est, wf)
+        cnt = jnp.maximum(jnp.sum(valid), 1)
+        mean = jnp.sum(jnp.where(valid, d, 0).astype(jnp.float32)) / cnt
+        est = est + mean.astype(jnp.int32)
     return est
 
 
@@ -242,6 +268,24 @@ def make_frame_matcher(num_frames: int, window: int,
                                residuals=res, final_offset=final)
 
     return match_frames
+
+
+@jax.jit
+def sift_outputs(sift_mask: jax.Array, bob_bits: jax.Array):
+    """Device-side sift epilogue — everything the chain needs, with only
+    the per-frame COUNTS crossing to the host.
+
+    Returns (idx (F, Na) int32, counts (F,) int32, bits_flat (F*Na,)
+    uint8): per-frame alice-event indices compacted sifted-first (the
+    type-4 SiftIndex rows, valid prefix = counts[f]), and the flattened
+    frame-major compacted bob bits (prefix sum(counts) — appended to the
+    EC stream as a device array).  Fetching the raw (F, Na) masks/bits
+    host-side instead costs ~190 ms per 8x524k batch over the tunnel —
+    half the in-chain sift cost (round-5 measurement)."""
+    order = jnp.argsort(~sift_mask, axis=-1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(sift_mask, axis=-1).astype(jnp.int32)
+    bits_flat, _ = compact_frames(sift_mask, bob_bits)
+    return order, counts, bits_flat
 
 
 @jax.jit

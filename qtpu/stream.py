@@ -149,19 +149,29 @@ class DeviceStream:
 
     # -- appends ----------------------------------------------------------
 
-    def push(self, bits) -> None:
+    def push(self, bits, n: int | None = None) -> None:
         """Append bits: host np.ndarray (uploaded bit-packed) or a device
-        uint8 array (written directly, no host round trip)."""
+        uint8 array (written directly, no host round trip).
+
+        ``n`` (device arrays only): treat ``bits`` as a PADDED buffer whose
+        first n entries are valid — the whole static-shape array is written
+        (one compiled program per padded length) but the cursor advances by
+        n; the pad tail is garbage the next push overwrites.  This is what
+        lets the sift stage append its compacted output without a host
+        round trip for the dynamic count."""
         if isinstance(bits, jax.Array):
-            n = int(bits.shape[0])
+            pad_n = int(bits.shape[0])
+            n = pad_n if n is None else int(n)
+            assert n <= pad_n
             if n == 0:
                 return
-            self._make_room(n)
+            self._make_room(pad_n)
             self.arena = _write_chunk(self.arena, bits.astype(jnp.uint8),
                                       self.end)
             self.end += n
             self.total_pushed += n
             return
+        assert n is None, "valid-prefix push is a device-array feature"
         bits = np.asarray(bits, np.uint8)
         off = 0
         while off < bits.size:

@@ -112,8 +112,12 @@ def main() -> None:
         "warmup_s": round(warm_s, 1),
     }
 
-    value_bits = decode_gbit * 1e9  # fallback if the chain measures fail
-    tunnel_ok = warm_s < 120
+    # Fallback if the chain measures fail — tracked so the METRIC NAME
+    # always says what the value actually measured (a decode-only number
+    # must never ship under the full-chain label).
+    value_bits = decode_gbit * 1e9
+    value_kind = "decode_only"
+    tunnel_ok = warm_s < 300
 
     # Two-party full chain on one chip (config 4).  warmup_windows=8 keeps
     # the rung switch (~window 3) and first blind-retry round (~window 4)
@@ -145,6 +149,7 @@ def main() -> None:
                 "full_chain_auth_bits": fc["auth_bits_total"],
             })
             value_bits = fc["sifted_bits_per_s"]
+            value_kind = "two_party_one_chip"
         except Exception as e:  # never let the extras sink the headline
             extra["full_chain_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -178,6 +183,7 @@ def main() -> None:
                 "per_chip_bob_window_ms": pb["window_ms"],
             })
             value_bits = med
+            value_kind = "per_chip_median"
         except Exception as e:
             extra["per_chip_error"] = f"{type(e).__name__}: {e}"[:200]
 
@@ -224,10 +230,18 @@ def main() -> None:
         except Exception as e:
             extra["sift_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    out = {
+    metric_by_kind = {
         # Median-of-clean-runs per-chip replay (semantics explicit in the
         # name; best-of-N and the two-party loopback number ride extras).
-        "metric": "full_chain_reconciled_bits_per_s_per_chip_qber3_median",
+        "per_chip_median":
+            "full_chain_reconciled_bits_per_s_per_chip_qber3_median",
+        "two_party_one_chip":
+            "full_chain_reconciled_bits_per_s_two_party_one_chip_qber3",
+        # Degraded fallback (chain measures failed/skipped): say so.
+        "decode_only": "decode_kernel_bits_per_s_qber3_FALLBACK",
+    }
+    out = {
+        "metric": metric_by_kind[value_kind],
         "value": round(value_bits / 1e9, 4),
         "unit": "Gbit/s",
         "vs_baseline": round(value_bits / 1e9, 4),  # target: 1 Gbit/s
